@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.Corpus
+
+/** The correctness contract (BASELINE.json `metric`): 100% span-sequence
+  * equality (kind, text, media_ref, order) per (doc, mode) against
+  * fixtures derived by EXECUTING the reference parser + app logic
+  * (fixtures/gen_golden.py over fixtures/ocr_dump.jsonl).
+  */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Top-level so Spark can derive an Encoder. */
+case class Fx(doc_id: String, mode: String, kind: String, text: String,
+    media_ref: String, order: Int)
+
+class GoldenSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val golden: Map[String, Seq[Fx]] = {
+    val df = spark.read.option("multiLine", true).json("fixtures/golden.json")
+    df.select(col("doc_id"), col("mode"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("mode"), col("s.kind"), col("s.text"),
+        col("s.media_ref"), col("s.order").cast("int").as("order"))
+      .as[Fx].collect().toSeq.groupBy(_.mode)
+  }
+
+  lazy val docs = Corpus.generate(spark, 200).cache()
+
+  private def check(mode: String, iterative: Boolean = false): Unit = {
+    val got = Pipeline.extractRows(docs, mode, iterative)
+      .select(col("doc_id"), lit(mode).as("mode"), col("kind"), col("text"),
+        col("media_ref"), col("order"))
+      .as[Fx].collect().toSeq
+    val want = golden(mode)
+    val key = (f: Fx) => (f.doc_id, f.order)
+    val gotM = got.map(f => key(f) -> f).toMap
+    val wantM = want.map(f => key(f) -> f).toMap
+    val missing = wantM.keySet -- gotM.keySet
+    val extra = gotM.keySet -- wantM.keySet
+    assert(missing.isEmpty, s"missing spans (first 5): ${missing.take(5).map(wantM)}")
+    assert(extra.isEmpty, s"extra spans (first 5): ${extra.take(5).map(gotM)}")
+    val diffs = wantM.keys.filter(k => gotM(k) != wantM(k)).toSeq.sortBy(identity)
+    assert(diffs.isEmpty,
+      s"${diffs.size} span mismatches; first 3: " + diffs.take(3).map(k =>
+        s"\n got: ${gotM(k)}\nwant: ${wantM(k)}").mkString)
+    assert(got.size == want.size)
+  }
+
+  test("mode=light matches reference-derived golden fixtures")(check("light"))
+  test("mode=premium matches reference-derived golden fixtures")(check("premium"))
+  test("mode=optimum matches reference-derived golden fixtures")(check("optimum"))
+  test("mode=auto (columnar cascade) matches golden fixtures")(check("auto"))
+  test("mode=auto (iterative cascade) matches golden fixtures")(
+    check("auto", iterative = true))
+
+  test("quirk Q3: unaccented '3eme generation' yields value 3.0") {
+    // family 3 docs: i % 16 == 3
+    val got = Pipeline.extractRows(docs.filter($"doc_id" === "doc00000019"), "optimum")
+      .filter($"kind" === "value").select("text").as[String].collect()
+    assert(got.toSeq == Seq("3.0"))
+  }
+
+  test("quirk Q2: auto discards light's rangeless parse when optimum fails") {
+    // family 14 (Q2): light parses value (no range), optimum corrupts the
+    // line -> auto must be a TSH_NOT_FOUND failure, light's value lost
+    val q2 = docs.filter($"doc_id" === "doc00000014")
+    val light = Pipeline.extractRows(q2, "light").filter($"kind" === "value")
+      .select("text").as[String].collect()
+    assert(light.nonEmpty, "Q2 doc should parse a value at light")
+    val auto = Pipeline.extractRows(q2, "auto")
+      .filter($"kind" === "error").select("text").as[String].collect()
+    assert(auto.toSeq == Seq("TSH_NOT_FOUND"))
+  }
+
+  test("skew-aware path produces identical spans") {
+    val skewDocs = Corpus.generate(spark, 300, skew = true)
+    val base = Pipeline.extract(skewDocs, "auto").orderBy("doc_id")
+      .as[(String, Seq[graft.schema.OutSpan])].collect().toSeq
+    val skew = Pipeline.extractSkewAware(skewDocs, "auto", threshold = 8)
+      .orderBy("doc_id")
+      .as[(String, Seq[graft.schema.OutSpan])].collect().toSeq
+    assert(skew == base)
+  }
+
+  test("output is invariant under repartitioning (determinism, Q7)") {
+    def run(d: org.apache.spark.sql.Dataset[graft.schema.DocRow]) =
+      Pipeline.extractRows(d, "auto")
+        .select(col("doc_id"), lit("auto").as("mode"), col("kind"), col("text"),
+          col("media_ref"), col("order"))
+        .orderBy("doc_id", "order").as[Fx].collect().toSeq
+    val base = run(docs)
+    val re = run(docs.repartition(17).sortWithinPartitions("spans"))
+    assert(re == base)
+  }
+}
