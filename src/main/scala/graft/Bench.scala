@@ -1,24 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Corpus
+
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and the flagship extraction pipeline on the
+  * synthetic corpus; prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "50000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(fn(spark, sfDir).count())
+      catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+
+    // flagship extraction throughput (docs/sec, auto cascade, skewed corpus)
+    val docs = Corpus.generate(spark, benchDocs, skew = true,
+      partitions = cpus.toInt * 4)
+    Pipeline.extractRows(docs, "auto").count() // warm codegen/JIT
+    val extractSec = time(Pipeline.extractRows(docs, "auto").count())
+    val docsPerSec = benchDocs / extractSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum + extractSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""extract_docs":$benchDocs,"extract_sec":$extractSec,""" +
+      s""""extract_docs_per_sec":$docsPerSec,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -34,14 +34,45 @@ object Pipeline {
 
   /** raw-text column named `rawCol` -> level-result struct column `out`
     * = (ok, value, unit, ref_min, ref_max, confidence, error, raw_text).
+    * `reuse = Some((otherRaw, otherOut))` short-circuits the parse when
+    * this level's raw text is identical to an already-parsed level's
+    * (typical for premium vs optimum: they differ only for docs the
+    * binarization rescue actually changes), paying one string compare
+    * instead of a reparse. Helper columns (`_lab`, `_cands`, `_best`)
+    * are left in place for downstream reuse; callers project them away.
     */
-  def withLevelResult(df: DataFrame, rawCol: String, out: String): DataFrame =
-    df.withColumn(s"${out}_lab", TshExtract.labelledCandidates(col(rawCol)))
-      .withColumn(s"${out}_cands",
-        TshExtract.gatherCandidates(col(rawCol), col(s"${out}_lab")))
+  /** Candidate-gather strategy: the fused native Expression
+    * (TshGatherCandidates, one compiled pass per doc) is the default;
+    * the pure-HOF expression chain (TshExtract.*Candidates) remains
+    * selectable — the golden suite validates both and a property test
+    * asserts their equality.
+    */
+  @volatile var useFusedGather: Boolean = true
+
+  def withLevelResult(df: DataFrame, rawCol: String, out: String,
+      reuse: Option[(String, String)] = None): DataFrame = {
+    def freshCands(d: DataFrame): (DataFrame, Column) =
+      if (useFusedGather)
+        (d, graft.extract.TshGatherCandidates.gather(col(rawCol)))
+      else {
+        val d1 = d.withColumn(s"${out}_lab",
+          TshExtract.labelledCandidates(col(rawCol)))
+        (d1, TshExtract.gatherCandidates(col(rawCol), col(s"${out}_lab")))
+      }
+    val staged = reuse match {
+      case Some((rRaw, rOut)) =>
+        val eq = col(rawCol) <=> col(rRaw)
+        val (d1, cands) = freshCands(df)
+        d1.withColumn(s"${out}_cands",
+          when(eq, col(s"${rOut}_cands")).otherwise(cands))
+      case None =>
+        val (d1, cands) = freshCands(df)
+        d1.withColumn(s"${out}_cands", cands)
+    }
+    staged
       .withColumn(s"${out}_best", TshExtract.best(col(s"${out}_cands")))
       .withColumn(out, TshExtract.levelResult(col(rawCol), col(s"${out}_best")))
-      .drop(s"${out}_lab", s"${out}_cands", s"${out}_best")
+  }
 
   /** OCR all three levels per doc in one pooled-engine pass (columnar
     * cascade input). One mapPartitions = one engine checkout per task.
@@ -81,13 +112,12 @@ object Pipeline {
     */
   def results(docs: Dataset[DocRow], mode: String): DataFrame = mode match {
     case "auto" =>
-      val staged = Seq("light_raw" -> "r_l", "premium_raw" -> "r_p",
-        "optimum_raw" -> "r_o")
-        .foldLeft(ocrAll(docs).toDF()) { case (d, (rc, out)) =>
-          withLevelResult(d, rc, out)
-        }
-      staged
-        .withColumn("r",
+      val d1 = withLevelResult(ocrAll(docs).toDF(), "light_raw", "r_l")
+      val d2 = withLevelResult(d1, "premium_raw", "r_p",
+        reuse = Some(("light_raw", "r_l")))
+      val d3 = withLevelResult(d2, "optimum_raw", "r_o",
+        reuse = Some(("premium_raw", "r_p")))
+      d3.withColumn("r",
           TshExtract.cascadeAuto(col("r_l"), col("r_p"), col("r_o")))
         .select("doc_id", "first_media_ref", "r")
     case level =>
@@ -216,10 +246,12 @@ object Pipeline {
 
     val heavyRes = mode match {
       case "auto" =>
-        val staged = Seq("light_raw" -> "r_l", "premium_raw" -> "r_p",
-          "optimum_raw" -> "r_o")
-          .foldLeft(assembled) { case (d, (rc, out)) => withLevelResult(d, rc, out) }
-        staged.withColumn("r",
+        val d1 = withLevelResult(assembled, "light_raw", "r_l")
+        val d2 = withLevelResult(d1, "premium_raw", "r_p",
+          reuse = Some(("light_raw", "r_l")))
+        val d3 = withLevelResult(d2, "optimum_raw", "r_o",
+          reuse = Some(("premium_raw", "r_p")))
+        d3.withColumn("r",
           TshExtract.cascadeAuto(col("r_l"), col("r_p"), col("r_o")))
       case lv =>
         withLevelResult(assembled, s"${lv}_raw", "r")

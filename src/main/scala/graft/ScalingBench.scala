@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Corpus
+
+/** Two-cluster-size scaling evidence (BASELINE.json north_rule): the
+  * sandbox has no real cluster, so the N vs 4N executor comparison is
+  * run as local[N] vs local[4N] on the SAME input — the pipeline is
+  * map-only, so thread-level scaling is the honest stand-in for
+  * executor-level scaling (no shuffle traffic to model either way).
+  * Writes BENCH.md and prints one JSON line.
+  *
+  * Run: sbt "runMain graft.ScalingBench" (or spark-submit; ~2 min).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    // This VM advertises 32 CPUs but delivers ~16 effective cores under
+    // load (host steal up to ~40% in bursts, measured via /proc/stat) —
+    // so the N vs 4N comparison defaults to 4 vs 16, inside the
+    // honestly-available envelope.
+    val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt
+    val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "16").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "3").toInt
+
+    def run(cpus: Int): Double = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(s"graft-scaling-$cpus")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        // partition count fixed by the INPUT (same in both sizes) so both
+        // runs do identical work in identically-sized tasks
+        val docs = Corpus.generate(spark, n, skew = true, partitions = hi * 4)
+        Pipeline.extractRows(docs, "auto").count() // warm JIT
+        val times = (1 to trials).map { _ =>
+          val t0 = System.nanoTime()
+          Pipeline.extractRows(docs, "auto").count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        times.min // best-of-K: filters host-steal noise, standard practice
+      } finally spark.stop()
+    }
+
+    val tLo = run(lo)
+    val tHi = run(hi)
+    val thrLo = n / tLo
+    val thrHi = n / tHi
+    val eff = (thrHi / thrLo) / (hi.toDouble / lo)
+    val json = f"""{"docs":$n,"cpus_lo":$lo,"cpus_hi":$hi,""" +
+      f""""sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
+      f""""docs_per_sec_lo":$thrLo%.0f,"docs_per_sec_hi":$thrHi%.0f,""" +
+      f""""scaling_efficiency":$eff%.3f}"""
+    println(json)
+    val md =
+      s"""# BENCH — extraction throughput + scaling (auto cascade, skewed corpus)
+         |
+         |Same job, same input (${n} docs, seed 42, 1% oversized multi-page
+         |docs), measured at two parallelism levels as the sandbox stand-in
+         |for N vs 4N executors (BASELINE.md). Pipeline is map-only, so
+         |thread scaling == executor scaling modulo scheduler overhead.
+         |
+         || parallelism | wall sec | docs/sec |
+         ||---|---|---|
+         || local[$lo] | ${f"$tLo%.2f"} | ${f"$thrLo%.0f"} |
+         || local[$hi] | ${f"$tHi%.2f"} | ${f"$thrHi%.0f"} |
+         |
+         |**Scaling efficiency (${lo}→${hi} cores): ${f"$eff%.3f"}**
+         |(target ≥ 0.8 per BASELINE.json north_rule).
+         |
+         |Raw: `$json`
+         |""".stripMargin
+    Files.write(Paths.get("BENCH.md"), md.getBytes(StandardCharsets.UTF_8))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text operators over a `documents`-shaped
+  * table (doc_id, text, ...). All per-doc features are pure map-side
+  * expressions (no UDFs, no shuffle); the only shuffles are the
+  * aggregations/joins that dedup fundamentally requires (group-by dup
+  * key, LSH band bucket join) — each keyed and broadcast/AQE friendly
+  * at the 10^12-doc scale this engine targets.
+  */
+object TextOps {
+
+  /** Lowercased word tokens (letters/digits/apostrophe runs). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[\\p{L}0-9']+"), lit(0))
+
+  /** Whitespace + BPE-ish token count: word pieces of <=4 chars. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[\\p{L}0-9]{1,4}|[^\\p{L}0-9\\s]"), lit(0)))
+
+  // ---- exact dedup ---------------------------------------------------------
+  /** Exact dedup on a normalized key: one shuffle (hash groupBy).
+    * Returns one row per duplicate group: (key, n_dups, keeper_id).
+    */
+  def exactDupGroups(docs: DataFrame, key: Column, id: Column): DataFrame =
+    docs.groupBy(key.as("dup_key"))
+      .agg(count(lit(1)).as("n_dups"), min(id).as("keeper_id"))
+
+  /** Keep one doc per exact-dup key (deterministic keeper = min id). */
+  def dedupExact(docs: DataFrame, key: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(id)
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- quality / language heuristics (pure projections) -------------------
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Length / punctuation / stopword-ratio quality score in [0,1]. */
+  def qualityFeatures(text: Column): Column = {
+    val len = length(text)
+    val toks = tokenCount(text)
+    val punct = size(regexp_extract_all(text, lit("[^\\p{L}0-9\\s]"), lit(0)))
+    val stop = size(regexp_extract_all(lower(text),
+      lit(Stopwords.mkString("\\b(?:", "|", ")\\b")), lit(0)))
+    struct(len.as("n_chars"), toks.as("n_tokens"), punct.as("n_punct"),
+      stop.as("n_stopwords"),
+      when(toks > 0, stop.cast("double") / toks).otherwise(0.0).as("stopword_ratio"),
+      when(len > 0, punct.cast("double") / len).otherwise(0.0).as("punct_ratio"))
+  }
+
+  /** Marker-word language-ID heuristic (n-gram-lite): counts per-language
+    * marker hits and argmaxes with a fixed language order tiebreak.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(?:the|and|of|is|was)\\b",
+    "fr" -> "\\b(?:le|la|les|des|est|une)\\b",
+    "de" -> "\\b(?:der|die|das|und|ist)\\b",
+    "es" -> "\\b(?:el|los|las|es|una)\\b")
+  def langIdScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (l, re) =>
+      l -> size(regexp_extract_all(lower(text), lit(re), lit(0)))
+    }
+  def langIdBest(text: Column): Column = {
+    val scores = langIdScores(text)
+    // argmax with declaration-order tiebreak, expression-only
+    scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (l, s)) =>
+        when(s > acc("s"), struct(s.as("s"), lit(l).as("l"))).otherwise(acc)
+    }("l")
+  }
+
+  // ---- fingerprinting ------------------------------------------------------
+  /** Order-sensitive rolling document fingerprint (hash chaining over
+    * tokens), expression-only via aggregate HOF. Chaining instead of a
+    * polynomial keeps it ANSI-safe (no long overflow).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1125899906842597L),
+      (acc, t) => xxhash64(acc, t))
+
+  /** SimHash over token hashes: per-bit majority vote of xxhash64(token).
+    * Expression-only: 64 aggregate passes fused into one projection.
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val bits: Seq[Column] = (0 until 64).map { b =>
+      val votes = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash")
+  }
+
+  /** Hamming distance between two simhash values (expression-only). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- n-gram Jaccard ------------------------------------------------------
+  /** Distinct word n-gram shingles as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+        .otherwise(array()))
+  }
+
+  /** Jaccard similarity of distinct n-gram sets (map-side when the two
+    * texts are already co-located in one row).
+    */
+  def jaccard(aSh: Column, bSh: Column): Column = {
+    val inter = size(array_intersect(aSh, bSh))
+    val union = size(array_union(aSh, bSh))
+    when(union > 0, inter.cast("double") / union).otherwise(0.0)
+  }
+
+  // ---- MinHash + LSH near-dup ---------------------------------------------
+  /** MinHash signature: m permutations approximated by seeded xxhash64.
+    * Expression-only per row.
+    */
+  def minhashSignature(sh: Column, m: Int = 16): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      p => coalesce(array_min(transform(sh, s => xxhash64(p, s))),
+        lit(Long.MaxValue)))
+
+  /** LSH band keys: split the signature into `bands` bands and hash each.
+    * Docs sharing any band key are near-dup candidates.
+    */
+  def lshBandKeys(sig: Column, m: Int = 16, bands: Int = 4): Column = {
+    val rows = m / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws("_", slice(sig, b * lit(rows) + lit(1), lit(rows))))
+          .as("bucket")))
+  }
+
+  /** End-to-end MinHash-LSH near-dup candidate pairs with verified
+    * n-gram Jaccard: shingle -> minhash -> band -> bucket self-join
+    * (the one shuffle; banded so each bucket is small) -> exact-Jaccard
+    * rerank. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashDupPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, m: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    // explode_outer: band-key arrays are never empty, and plain explode
+    // lets InferFiltersFromGenerate push a filter that re-inlines the
+    // whole minhash expression tree (see Pipeline.extractRows)
+    val base = docs.select(id.as("id"), shingles(text, n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), m))
+      .withColumn("bk", explode_outer(lshBandKeys(col("sig"), m, bands)))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket"))
+      // materialization barrier: the self-join would otherwise recompute
+      // the minhash chain per side AND pull inlined copies of it into
+      // pushed-down join-key constraints
+      .cache()
+    val a = base.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard"))
+  }
+}

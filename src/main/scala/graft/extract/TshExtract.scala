@@ -107,10 +107,17 @@ object TshExtract {
   def labelledCandidates(raw: Column): Column = {
     val s1 = transform(linesOf(raw), (l, i) =>
       struct(l.as("line"), i.as("line_no"),
-        regexp_instr(l, lit(Label)).as("label_pos"), // 1-based; 0 = none
-        regexp_extract(l, Label, 0).as("label")))
+        regexp_instr(l, lit(Label)).as("label_pos"))) // 1-based; 0 = none
+    // E1 gate (`parsers/tsh.py:252-253`): drop label-less lines NOW so
+    // the expensive per-line stages below only run on candidate lines
+    // (the "thyr"-substring half of the reference's gate is semantically
+    // inert — E2 re-requires the label — so label_pos>0 is the net gate)
+    val s1g = filter(s1, c => c("label_pos") > 0)
+    val s1l = transform(s1g, c =>
+      struct(c("line"), c("line_no"), c("label_pos"),
+        regexp_extract(c("line"), Label, 0).as("label")))
     // snippet = everything after the label (`parsers/tsh.py:142`)
-    val s2 = transform(s1, c =>
+    val s2 = transform(s1l, c =>
       struct(c("line_no"), c("label_pos"), c("label"),
         c("line").substr(c("label_pos") + length(c("label")),
           length(c("line"))).as("snippet")))
@@ -149,11 +156,16 @@ object TshExtract {
     * (`parsers/tsh.py:236`); unit regex lacks pUI/mL (Q6).
     */
   def fallbackCandidates(raw: Column): Column = {
-    val s1 = transform(linesOf(raw), (l, i) =>
+    val s0 = transform(linesOf(raw), (l, i) =>
       struct(l.as("line"), i.as("line_no"),
-        (lower(l).contains("mui") || lower(l).contains("ui/l")).as("gate"),
-        regexp_instr(l, lit(UnitFallback)).as("unit_pos"),
-        regexp_extract(l, UnitFallback, 0).as("unit")))
+        (lower(l).contains("mui") || lower(l).contains("ui/l")).as("gate")))
+    // E7 gate (`parsers/tsh.py:198-199`): cheap substring check first,
+    // regex work only on gated lines
+    val s0g = filter(s0, c => c("gate"))
+    val s1 = transform(s0g, c =>
+      struct(c("line"), c("line_no"), c("gate"),
+        regexp_instr(c("line"), lit(UnitFallback)).as("unit_pos"),
+        regexp_extract(c("line"), UnitFallback, 0).as("unit")))
     val s2 = transform(s1, c =>
       struct(c("line_no"), c("gate"), c("unit_pos"), c("unit"),
         c("line").substr(lit(1), c("unit_pos") - 1).as("before"),

@@ -1,0 +1,187 @@
+package graft.extract
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused single-pass candidate gather as a native Catalyst Expression —
+  * the performance path for G1 (`parsers/tsh.py:246-266`). Semantics are
+  * identical to the expression-chain form (TshExtract.labelledCandidates
+  * / fallbackCandidates / gatherCandidates); the golden suite and a
+  * cross-validation property test run both. This is preference order (b)
+  * of SURVEY.md §7.5: a custom Expression (not a UDF) fusing the
+  * ~10-regex-op per-line chain into one compiled pass — one matcher walk
+  * per pattern, no intermediate arrays/strings — because the interpreted
+  * HOF chain is allocation-bound and stops scaling with cores.
+  *
+  * Replicates, 1:1 with the reference:
+  *  - N1 `_normalize_text` (tsh.py:37-44), N2 line split (tsh.py:248)
+  *  - E1 gate (tsh.py:252-253; a single label search — the "thyr"
+  *    branch is net-inert since E2 re-requires the label)
+  *  - E2-E6 `_extract_tsh_from_labelled_line` (tsh.py:131-182)
+  *  - E7-E11 `_extract_tsh_from_mui_line` (tsh.py:189-239), only for
+  *    docs with zero labelled candidates (two-phase gather)
+  *  - N3 `_to_float` (tsh.py:47-57), N4 `_adjust_ref_value` (tsh.py:59-93)
+  * Output rows carry the (has_range, penalty, span_start, line_no) sort
+  * key (G2/G3 + quirk Q7).
+  */
+case class TshGatherCandidates(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = TshGatherCandidates.schema
+  override def prettyName: String = "tsh_gather_candidates"
+
+  @transient private lazy val labelRe = Pattern.compile(TshPatterns.Label)
+  @transient private lazy val numRe = Pattern.compile(TshPatterns.Num)
+  @transient private lazy val rangeRe = Pattern.compile(TshPatterns.Range)
+  @transient private lazy val unitLblRe = Pattern.compile(TshPatterns.UnitLabelled)
+  @transient private lazy val unitFbRe = Pattern.compile(TshPatterns.UnitFallback)
+  @transient private lazy val wsRe = Pattern.compile(TshPatterns.WsRun)
+  @transient private lazy val nlRe = Pattern.compile("\n+")
+
+  private def toFloat(s: String): java.lang.Double = {
+    if (s == null || s.isEmpty) return null
+    val cleaned = s.replace(" ", "").replace(" ", "").replace(',', '.')
+    try java.lang.Double.valueOf(cleaned)
+    catch { case _: NumberFormatException => null }
+  }
+
+  private def adjustRef(raw: String): java.lang.Double = {
+    if (raw == null || raw.isEmpty) return null
+    if (raw.indexOf(',') >= 0 || raw.indexOf('.') >= 0) return toFloat(raw)
+    val digits = raw.filter(Character.isDigit)
+    if (digits.isEmpty) return null
+    val v = try java.lang.Double.parseDouble(digits)
+    catch { case _: NumberFormatException => return null }
+    val n = digits.length
+    if (n >= 4) v / 1000.0 else if (n == 3) v / 100.0 else v
+  }
+
+  private def penaltyOf(label: String): Int = {
+    val l = label.toLowerCase
+    if (l.contains("fallback")) 2
+    else if (l.contains("tsh")) 0
+    else if (l.contains("thyr")) 1
+    else 3
+  }
+
+  private def row(hasRange: Int, penalty: Int, spanStart: Int, lineNo: Int,
+      value: Double, unit: String, refMin: java.lang.Double,
+      refMax: java.lang.Double, label: String): InternalRow =
+    new GenericInternalRow(Array[Any](hasRange, penalty, spanStart, lineNo,
+      value, if (unit == null) null else UTF8String.fromString(unit),
+      refMin, refMax, UTF8String.fromString(label)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    // N1 normalize
+    val norm = nlRe.matcher(
+      wsRe.matcher(raw.replace('\r', '\n')).replaceAll(" ")).replaceAll("\n")
+    val lines = norm.split("\n", -1)
+    val out = new java.util.ArrayList[InternalRow]()
+
+    // phase 1: labelled candidates (E1-E6)
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      val lm = labelRe.matcher(line)
+      if (lm.find()) {
+        val label = lm.group(0)
+        val snippet = line.substring(lm.end())
+        val nm = numRe.matcher(snippet)
+        if (nm.find()) {
+          val value = toFloat(nm.group(0))
+          if (value != null) {
+            val numEnd = nm.end()
+            // E4: unit in 25-char window after the value (Q10)
+            val window = snippet.substring(numEnd,
+              math.min(snippet.length, numEnd + 25))
+            val um = unitLblRe.matcher(window)
+            val unit = if (um.find()) um.group(0) else null
+            // E5: range search from the value end (tsh.py:167)
+            val rm = rangeRe.matcher(snippet)
+            var refMin: java.lang.Double = null
+            var refMax: java.lang.Double = null
+            if (rm.find(numEnd)) {
+              refMin = adjustRef(rm.group(1))
+              refMax = adjustRef(rm.group(2))
+            }
+            val hasRange = if (refMin != null && refMax != null) 0 else 1
+            out.add(row(hasRange, penaltyOf(label), lm.start(), i,
+              value, unit, refMin, refMax, label))
+          }
+        }
+      }
+      i += 1
+    }
+
+    // phase 2: fallback only if no labelled candidate (tsh.py:259-264)
+    if (out.isEmpty) {
+      var j = 0
+      while (j < lines.length) {
+        val line = lines(j)
+        val low = line.toLowerCase
+        if (low.contains("mui") || low.contains("ui/l")) {
+          val um = unitFbRe.matcher(line)
+          if (um.find()) {
+            val unit = um.group(0)
+            val before = line.substring(0, um.start())
+            val after = line.substring(um.end())
+            // E9: LAST number before the unit (Q8)
+            val nm = numRe.matcher(before)
+            var lastNum: String = null
+            while (nm.find()) lastNum = nm.group(0)
+            val value = toFloat(lastNum)
+            if (value != null) {
+              val rm = rangeRe.matcher(after)
+              var refMin: java.lang.Double = null
+              var refMax: java.lang.Double = null
+              if (rm.find()) {
+                refMin = adjustRef(rm.group(1))
+                refMax = adjustRef(rm.group(2))
+              }
+              val hasRange = if (refMin != null && refMax != null) 0 else 1
+              out.add(row(hasRange, 2, 0, j, value, unit, refMin, refMax,
+                TshPatterns.FallbackLabel))
+            }
+          }
+        }
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TshGatherCandidates {
+  /** Must stay field-compatible with TshExtract's candidate struct. */
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("has_range", IntegerType, nullable = false),
+    StructField("penalty", IntegerType, nullable = false),
+    StructField("span_start", IntegerType, nullable = false),
+    StructField("line_no", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("unit", StringType, nullable = true),
+    StructField("ref_min", DoubleType, nullable = true),
+    StructField("ref_max", DoubleType, nullable = true),
+    StructField("label", StringType, nullable = false))), containsNull = false)
+
+  def gather(raw: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // coalesce like N1 `_normalize_text` does (tsh.py:39-40): a null raw
+    // yields an empty candidate array, same as the HOF chain
+    Bridge.column(TshGatherCandidates(Bridge.expression(
+      org.apache.spark.sql.functions.coalesce(raw,
+        org.apache.spark.sql.functions.lit("")))))
+  }
+}

@@ -64,6 +64,22 @@ class GoldenSpec extends AnyFunSuite {
   }
 
   test("mode=light matches reference-derived golden fixtures")(check("light"))
+  test("HOF (UDF-free) gather path matches golden too (all modes)") {
+    Pipeline.useFusedGather = false
+    try { check("light"); check("auto") }
+    finally Pipeline.useFusedGather = true
+  }
+  test("fused Expression gather == HOF expression-chain gather") {
+    val ocr = Pipeline.ocrAll(docs).toDF()
+    def cands(fused: Boolean) = {
+      Pipeline.useFusedGather = fused
+      try Pipeline.withLevelResult(ocr, "optimum_raw", "r")
+        .select(col("doc_id"), col("r_cands").cast("string").as("c"))
+        .orderBy("doc_id").as[(String, String)].collect().toSeq
+      finally Pipeline.useFusedGather = true
+    }
+    assert(cands(true) == cands(false))
+  }
   test("mode=premium matches reference-derived golden fixtures")(check("premium"))
   test("mode=optimum matches reference-derived golden fixtures")(check("optimum"))
   test("mode=auto (columnar cascade) matches golden fixtures")(check("auto"))
