@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.Corpus
+import graft.io.ExtractJob
+
+/** §7.6 checkpoint/resume: kill after k buckets, re-run, assert exact
+  * same results table and no duplicate audit rows.
+  */
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("kill after 3 buckets, resume completes exactly, no dup docs") {
+    val docs = Corpus.generate(spark, 300).cache()
+    val out = Files.createTempDirectory("graft-resume").toString
+    val crashed = intercept[RuntimeException] {
+      ExtractJob.run(spark, docs, "auto", out, "r1", buckets = 8,
+        failAfterBuckets = 3)
+    }
+    assert(crashed.getMessage.contains("injected failure"))
+    assert(ExtractJob.committedBuckets(out, "r1").size == 3)
+
+    // resume: processes exactly the 5 remaining buckets
+    val resumed = ExtractJob.run(spark, docs, "auto", out, "r1", buckets = 8)
+    assert(resumed.size == 5)
+    assert(ExtractJob.committedBuckets(out, "r1") == (0 until 8).toSet)
+
+    // second resume is a no-op (0 already-committed partitions reprocessed)
+    assert(ExtractJob.run(spark, docs, "auto", out, "r1", buckets = 8).isEmpty)
+
+    // combined results == single-pass pipeline output, no dups
+    val got = ExtractJob.readResults(spark, out)
+    assert(got.count() == 300)
+    assert(got.select("doc_id").distinct().count() == 300)
+    val direct = Pipeline.extract(docs, "auto")
+    assert(got.select("doc_id", "spans").except(direct).count() == 0)
+    assert(direct.except(got.select("doc_id", "spans")).count() == 0)
+
+    // audit metrics add up
+    val audit = ExtractJob.readAudit(out, "r1")
+    assert(audit.size == 8)
+    assert(audit.map(_.n_docs).sum == 300)
+    assert(audit.map(_.n_ok).sum +
+      audit.map(_.n_ocr_failed).sum + audit.map(_.n_not_found).sum == 300)
+  }
+}
