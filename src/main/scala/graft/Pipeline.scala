@@ -110,14 +110,31 @@ object Pipeline {
   /** (doc_id, first_media_ref, result struct `r`) for one explicit mode
     * or the columnar auto cascade.
     */
+  /** All three level results staged as columns r_l / r_p / r_o. */
+  private def autoStaged(docs: Dataset[DocRow]): DataFrame = {
+    val d1 = withLevelResult(ocrAll(docs).toDF(), "light_raw", "r_l")
+    val d2 = withLevelResult(d1, "premium_raw", "r_p",
+      reuse = Some(("light_raw", "r_l")))
+    withLevelResult(d2, "optimum_raw", "r_o",
+      reuse = Some(("premium_raw", "r_p")))
+  }
+
+  /** Audit metric: which cascade level resolves each doc (`app.py`
+    * acceptance order) — the realized level mix of auto mode.
+    */
+  def levelMix(docs: Dataset[DocRow]): DataFrame =
+    autoStaged(docs)
+      .withColumn("resolved_level",
+        when(TshExtract.acceptWithRange(col("r_l")), "light")
+          .when(TshExtract.acceptWithRange(col("r_p")), "premium")
+          .when(col("r_o")("ok"), "optimum")
+          .otherwise("failed"))
+      .groupBy("resolved_level").agg(count(lit(1)).as("n_docs"))
+
   def results(docs: Dataset[DocRow], mode: String): DataFrame = mode match {
     case "auto" =>
-      val d1 = withLevelResult(ocrAll(docs).toDF(), "light_raw", "r_l")
-      val d2 = withLevelResult(d1, "premium_raw", "r_p",
-        reuse = Some(("light_raw", "r_l")))
-      val d3 = withLevelResult(d2, "optimum_raw", "r_o",
-        reuse = Some(("premium_raw", "r_p")))
-      d3.withColumn("r",
+      autoStaged(docs)
+        .withColumn("r",
           TshExtract.cascadeAuto(col("r_l"), col("r_p"), col("r_o")))
         .select("doc_id", "first_media_ref", "r")
     case level =>

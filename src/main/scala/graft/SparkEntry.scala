@@ -200,7 +200,52 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
     }),
 
+    // ---- date/time, grouping sets, JSON, math (events/lineitem) ----------
+    "q29_time_window" -> ((s, d) =>
+      // tumbling event-time window (epoch-second keys for cross-engine
+      // comparability; Spark session TZ is UTC)
+      t(s, d, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))),
+
+    "q30_lag_gaps" -> ((s, d) => {
+      // per-user inter-event gap via lag window (sessionization primitive)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // microseconds: duckdb's epoch(ts)::BIGINT ROUNDS sub-seconds while
+      // Spark's unix_timestamp truncates — epoch_us/unix_micros agree.
+      // events.ts is parquet TIMESTAMP_NTZ; session TZ is UTC, so the
+      // cast to (LTZ) timestamp is a no-op relabel
+      val us = (c: org.apache.spark.sql.Column) =>
+        unix_micros(c.cast("timestamp"))
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+        (us(col("ts")) - lag(us(col("ts")), 1).over(w)).as("gap_us"))
+    }),
+
+    "q31_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+
+    "q32_json_extract" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"))),
+
+    "q33_math_exact" -> ((s, d) =>
+      // IEEE-exact math only (sqrt/abs/ceil/floor/pow-int) — ln/exp are
+      // libm-dependent and not bit-stable across engines
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_extendedprice")).as("sq"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        ceil(col("l_quantity") / 7.0).cast("double").as("ce"),
+        floor(col("l_quantity") / 7.0).cast("double").as("fl"),
+        pow(col("l_tax"), 2).as("p2"))),
+
     // ---- rows-only entries (not SQL-expressible in DuckDB) ---------------
+    "q34_media_decode" -> ((s, _) =>
+      graft.media.BinaryOps.mediaPipeline(s, 2000)),
+    "q35_level_mix" -> ((s, _) =>
+      Pipeline.levelMix(Corpus.generate(s, 2000))),
     "q24_tsh_auto" -> ((s, _) =>
       Pipeline.extractRows(Corpus.generate(s, 512), "auto")),
     "q25_minhash_pairs" -> ((s, d) => {
@@ -371,6 +416,28 @@ object SparkEntry {
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (" +
         "PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rn " +
         "FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings c " +
-        "WHERE q.vec_id <> c.vec_id) WHERE rn = 1")
+        "WHERE q.vec_id <> c.vec_id) WHERE rn = 1"),
+
+    "q29_time_window" ->
+      ("SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type, " +
+        "count(*) AS n, max(value) AS max_value FROM events GROUP BY 1, 2"),
+
+    "q30_lag_gaps" ->
+      ("SELECT user_id, event_id, epoch_us(ts) - lag(epoch_us(ts)) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events"),
+
+    "q31_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+
+    "q32_json_extract" ->
+      ("SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events"),
+
+    "q33_math_exact" ->
+      ("SELECT l_orderkey, l_linenumber, sqrt(l_extendedprice) AS sq, " +
+        "abs(l_discount - 0.05) AS ab, " +
+        "CAST(ceil(l_quantity / 7.0) AS DOUBLE) AS ce, " +
+        "CAST(floor(l_quantity / 7.0) AS DOUBLE) AS fl, " +
+        "power(l_tax, 2) AS p2 FROM lineitem")
   )
 }

@@ -1,0 +1,138 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.{Corpus, Det}
+
+/** Multimodal columns: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, processed by a pooled per-executor
+  * codec inside `mapPartitions` (same pool pattern as the OCR stage).
+  *
+  * This container ships no media libraries, so the DECODE step is a
+  * clearly-marked deterministic stub (`StubCodec`) — a pure function of
+  * the payload bytes — while everything Spark-side is real and tested:
+  * the asset schema, the binary column plumbing, per-partition batch
+  * shape, pooled-codec lifecycle, and the derived feature columns. A
+  * production build swaps `StubCodec` for a JNI/ffmpeg/PIL-equivalent
+  * behind the same `MediaCodec` trait.
+  */
+object BinaryOps {
+
+  /** One media asset row: (media_ref, mime, content: binary). */
+  final case class Asset(media_ref: String, mime: String, content: Array[Byte])
+
+  final case class Decoded(
+      media_ref: String, mime: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int, ok: Boolean)
+
+  final case class Frame(media_ref: String, frame_idx: Int,
+      feature: Array[Float])
+
+  trait MediaCodec extends Serializable {
+    def decode(mime: String, bytes: Array[Byte]): Decoded
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    def frameFeature(bytes: Array[Byte], frameIdx: Int, dim: Int): Array[Float]
+  }
+
+  /** STUB: deterministic fake decode — metadata and features are pure
+    * functions of the payload bytes. Replace with a real codec in
+    * production; the Spark plumbing does not change.
+    */
+  object StubCodec extends MediaCodec {
+    private def h(bytes: Array[Byte], salt: Int): Long = {
+      var acc = 1125899906842597L ^ salt
+      var i = 0
+      while (i < bytes.length) { acc = acc * 31 + bytes(i); i += 1 }
+      acc & 0x7fffffffL
+    }
+    override def decode(mime: String, bytes: Array[Byte]): Decoded = Decoded(
+      "", mime, bytes.length,
+      (320 + h(bytes, 1) % 1600).toInt, (240 + h(bytes, 2) % 1200).toInt,
+      if (mime.startsWith("video/")) (1 + h(bytes, 3) % 120).toInt else 1,
+      ok = bytes.nonEmpty)
+    override def resize(bytes: Array[Byte], w: Int, h0: Int): Array[Byte] = {
+      // stub: size scales with target area; content derived from source
+      val n = math.max(8, math.min(bytes.length, (w.toLong * h0 / 256).toInt))
+      Array.tabulate(n)(i => (bytes(i % math.max(1, bytes.length)) ^ (i & 0x7f)).toByte)
+    }
+    override def frameFeature(bytes: Array[Byte], frameIdx: Int, dim: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        ((h(bytes, 100 + frameIdx * 131 + d) % 2000) - 1000) / 1000.0f)
+  }
+
+  object CodecPool {
+    @volatile private var factory: () => MediaCodec = () => StubCodec
+    @transient lazy val codec: MediaCodec = factory()
+    def install(f: () => MediaCodec): Unit = { factory = f }
+  }
+
+  /** Deterministic synthetic assets table for the corpus' media refs
+    * (the sandbox has no binary fixtures; payload bytes are a pure
+    * function of the ref, so regenerating is byte-identical).
+    */
+  def assetsFor(docs: Dataset[graft.schema.DocRow]): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap(d => d.spans.filter(_.kind == "media").map { s =>
+      val (i, k, _) = Corpus.parseMediaRef(s.media_ref)
+      val mime = Seq("image/png", "image/jpeg", "video/mp4", "audio/wav")(
+        (Det.h(i, k, "mime") % 4).toInt)
+      val n = 64 + (Det.h(i, k, "len") % 192).toInt
+      val bytes = Array.tabulate(n)(j => (Det.h(i, k, j, "b") % 256).toByte)
+      Asset(s.media_ref, mime, bytes)
+    })
+  }
+
+  /** Decode metadata per asset (pooled codec, batched per partition). */
+  def decodeAll(assets: Dataset[Asset]): Dataset[Decoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val codec = CodecPool.codec
+      it.map(a => codec.decode(a.mime, a.content).copy(media_ref = a.media_ref))
+    }
+  }
+
+  /** Resize image assets to a bounding box (stubbed decode, real plumbing). */
+  def resizeImages(assets: Dataset[Asset], maxSide: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val codec = CodecPool.codec
+      it.map { a =>
+        if (a.mime.startsWith("image/"))
+          a.copy(content = codec.resize(a.content, maxSide, maxSide))
+        else a
+      }
+    }
+  }
+
+  /** Sample up to `maxFrames` evenly-spaced frames per video and emit a
+    * feature vector per frame — the row-explosion shape a video
+    * feature-extraction pipeline has at scale (per-frame rows hash
+    * evenly across the cluster).
+    */
+  def sampleFrames(assets: Dataset[Asset], maxFrames: Int = 4,
+      dim: Int = 16): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val codec = CodecPool.codec
+      it.flatMap { a =>
+        val d = codec.decode(a.mime, a.content)
+        val n = math.min(maxFrames, d.n_frames)
+        val step = math.max(1, d.n_frames / math.max(1, n))
+        (0 until n).iterator.map { j =>
+          Frame(a.media_ref, j * step, codec.frameFeature(a.content, j * step, dim))
+        }
+      }
+    }
+  }
+
+  /** Full demo: corpus -> assets -> decode + frame features, joined. */
+  def mediaPipeline(spark: SparkSession, nDocs: Long): DataFrame = {
+    val assets = assetsFor(Corpus.generate(spark, nDocs)).cache()
+    val meta = decodeAll(assets).toDF()
+    val frames = sampleFrames(assets).toDF()
+      .groupBy("media_ref").agg(count(lit(1)).as("n_sampled_frames"))
+    meta.join(frames, Seq("media_ref"), "left")
+      .withColumn("n_sampled_frames", coalesce(col("n_sampled_frames"), lit(0L)))
+  }
+}
