@@ -241,6 +241,24 @@ object SparkEntry {
         floor(col("l_quantity") / 7.0).cast("double").as("fl"),
         pow(col("l_tax"), 2).as("p2"))),
 
+    "q36_cube" -> ((s, d) =>
+      t(s, d, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("max_price"))),
+
+    "q37_set_ops" -> ((s, d) => {
+      val hi = t(s, d, "orders").filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey"))
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      hi.intersect(urgent).withColumn("src", lit("both"))
+        .unionByName(urgent.except(hi).withColumn("src", lit("urgent_only")))
+    }),
+
+    "q38_distinct_count" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
     // ---- rows-only entries (not SQL-expressible in DuckDB) ---------------
     "q34_media_decode" -> ((s, _) =>
       graft.media.BinaryOps.mediaPipeline(s, 2000)),
@@ -438,6 +456,23 @@ object SparkEntry {
         "abs(l_discount - 0.05) AS ab, " +
         "CAST(ceil(l_quantity / 7.0) AS DOUBLE) AS ce, " +
         "CAST(floor(l_quantity / 7.0) AS DOUBLE) AS fl, " +
-        "power(l_tax, 2) AS p2 FROM lineitem")
+        "power(l_tax, 2) AS p2 FROM lineitem"),
+
+    "q36_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "max(o_totalprice) AS max_price FROM orders " +
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
+
+    "q37_set_ops" ->
+      ("SELECT o_custkey, 'both' AS src FROM (" +
+        "SELECT o_custkey FROM orders WHERE o_totalprice > 100000 " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "UNION ALL SELECT o_custkey, 'urgent_only' AS src FROM (" +
+        "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 100000)"),
+
+    "q38_distinct_count" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1")
   )
 }

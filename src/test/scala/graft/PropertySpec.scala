@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.TshExtract
+
+/** Property-based invariants (SURVEY.md §5.2.3). Cases are generated
+  * with ScalaCheck generators (fixed seed -> reproducible), then
+  * evaluated in ONE Spark job per property (per-case jobs would be
+  * minutes of scheduler overhead for no extra coverage).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val numGen: Gen[String] = for {
+    sign <- Gen.oneOf("", "+", "-")
+    int <- Gen.choose(0L, 99999L)
+    dec <- Gen.option(Gen.choose(0, 999))
+    sep <- Gen.oneOf(",", ".")
+  } yield sign + int + dec.map(d => s"$sep$d").getOrElse("")
+
+  test("N3 toFloat == comma-to-dot Double parse on all NUM-shaped strings") {
+    val cases = sample(numGen, 300, 1001L)
+    val got = cases.toDF("s")
+      .select(col("s"), TshExtract.toFloat(col("s")).as("v"))
+      .as[(String, Option[Double])].collect().toMap
+    cases.foreach { s =>
+      val want = Some(s.replace(",", ".").toDouble)
+      assert(got(s) == want, s"N3($s)")
+    }
+  }
+
+  test("N4 adjustRefValue digit-class model holds for generated inputs") {
+    val digitGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.numChar).map(_.mkString))
+    val cases = (sample(digitGen, 200, 2002L) ++ sample(numGen, 100, 3003L)).distinct
+    val got = cases.toDF("s")
+      .select(col("s"), TshExtract.adjustRefValue(col("s")).as("v"))
+      .as[(String, Option[Double])].collect().toMap
+    cases.foreach { s =>
+      val want: Option[Double] =
+        if (s.contains(",") || s.contains(".")) Some(s.replace(",", ".").toDouble)
+        else {
+          val digits = s.filter(_.isDigit)
+          if (digits.isEmpty) None
+          else {
+            val v = digits.toDouble
+            Some(if (digits.length >= 4) v / 1000.0
+            else if (digits.length == 3) v / 100.0 else v)
+          }
+        }
+      assert(got(s) == want, s"N4($s)")
+    }
+  }
+
+  // filler lines guaranteed label-free, digit-free, unit-free
+  private val fillerGen: Gen[String] = Gen.listOfN(4,
+    Gen.oneOf("lorem", "dolor", "amet", "sed", "elit", "magna", "veniam"))
+    .map(_.mkString(" "))
+
+  test("surrounding a labelled line with non-matching fillers never changes the parse") {
+    val caseGen = for {
+      nBefore <- Gen.choose(0, 6)
+      nAfter <- Gen.choose(0, 6)
+      before <- Gen.listOfN(nBefore, fillerGen)
+      after <- Gen.listOfN(nAfter, fillerGen)
+      v <- Gen.choose(10, 500)
+    } yield {
+      val line = s"TSH ${v / 100.0}".replace('.', ',') + " mUI/L (0,27 - 4,20)"
+      (line, (before :+ line) ++ after)
+    }
+    val cases = sample(caseGen, 150, 4004L).zipWithIndex
+    val in = cases.flatMap { case ((line, doc), i) =>
+      Seq((s"bare-$i", line), (s"wrapped-$i", doc.mkString("\n")))
+    }.toDF("id", "raw")
+    val parsed = Pipeline.withLevelResult(in, "raw", "r")
+      .select(col("id"), col("r.ok"), col("r.value"), col("r.unit"),
+        col("r.ref_min"), col("r.ref_max"), col("r.confidence"))
+      .as[(String, Boolean, Option[Double], Option[String], Option[Double],
+        Option[Double], Option[String])]
+      .collect().map(t => t._1 -> t.productIterator.drop(1).toSeq).toMap
+    cases.foreach { case (_, i) =>
+      assert(parsed(s"bare-$i") == parsed(s"wrapped-$i"), s"case $i")
+    }
+  }
+
+  test("doc set permutation / duplication-of-partitioning invariance") {
+    val docs = graft.corpus.Corpus.generate(spark, 64)
+    def run(d: org.apache.spark.sql.Dataset[graft.schema.DocRow]) =
+      Pipeline.extract(d, "auto").orderBy("doc_id")
+        .as[(String, Seq[graft.schema.OutSpan])].collect().toSeq
+    assert(run(docs.orderBy(col("doc_id").desc)) == run(docs))
+  }
+}
