@@ -120,13 +120,21 @@ object TextOps {
   }
 
   // ---- MinHash + LSH near-dup ---------------------------------------------
-  /** MinHash signature: m permutations approximated by seeded xxhash64.
-    * Expression-only per row.
+  /** Distinct shingle hashes (one string hash per shingle; the m
+    * permutations below then re-hash the LONG, which is far cheaper
+    * than re-hashing strings m times).
     */
-  def minhashSignature(sh: Column, m: Int = 16): Column =
+  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** MinHash signature: m permutations approximated by seeded xxhash64
+    * over the shingle hashes. Expression-only per row.
+    */
+  def minhashSignature(sh: Column, m: Int = 16): Column = {
+    val hs = shingleHashes(sh)
     transform(sequence(lit(0), lit(m - 1)),
-      p => coalesce(array_min(transform(sh, s => xxhash64(p, s))),
+      p => coalesce(array_min(transform(hs, h => xxhash64(p, h))),
         lit(Long.MaxValue)))
+  }
 
   /** LSH band keys: split the signature into `bands` bands and hash each.
     * Docs sharing any band key are near-dup candidates.
@@ -149,22 +157,32 @@ object TextOps {
       minJaccard: Double = 0.5): DataFrame = {
     // explode_outer: band-key arrays are never empty, and plain explode
     // lets InferFiltersFromGenerate push a filter that re-inlines the
-    // whole minhash expression tree (see Pipeline.extractRows)
-    val base = docs.select(id.as("id"), shingles(text, n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), m))
+    // whole minhash expression tree (see Pipeline.extractRows).
+    // The rerank carries shingle HASHES (longs), not shingle strings —
+    // same Jaccard modulo 64-bit collisions, far cheaper to shuffle and
+    // intersect.
+    val base = docs.select(id.as("id"),
+        array_distinct(shingleHashes(shingles(text, n))).as("hs"))
+      .withColumn("sig", minhashSignature0(col("hs"), m))
       .withColumn("bk", explode_outer(lshBandKeys(col("sig"), m, bands)))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket"))
+      .select(col("id"), col("hs"), col("bk.band"), col("bk.bucket"))
       // materialization barrier: the self-join would otherwise recompute
       // the minhash chain per side AND pull inlined copies of it into
       // pushed-down join-key constraints
       .cache()
-    val a = base.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = base.select(col("band"), col("bucket"), col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = base.select(col("band"), col("bucket"), col("id").as("id_b"), col("hs").as("hs_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard"))
   }
+
+  /** Signature straight from already-hashed shingles. */
+  def minhashSignature0(hs: Column, m: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      p => coalesce(array_min(transform(hs, h => xxhash64(p, h))),
+        lit(Long.MaxValue)))
 }
