@@ -284,7 +284,7 @@ object SparkEntry {
     "q28_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
-      VectorOps.annTopK(emb.filter(col("vec_id") < 5), emb, 3, nPlanes = 6)
+      VectorOps.annTopK(emb.filter(col("vec_id") < 5), emb, 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     })
   )
