@@ -50,7 +50,8 @@ object Pipeline {
   @volatile var useFusedGather: Boolean = true
 
   def withLevelResult(df: DataFrame, rawCol: String, out: String,
-      reuse: Option[(String, String)] = None): DataFrame = {
+      reuse: Option[(String, String)] = None,
+      skipWhen: Option[Column] = None): DataFrame = {
     def freshCands(d: DataFrame): (DataFrame, Column) =
       if (useFusedGather)
         (d, graft.extract.TshGatherCandidates.gather(col(rawCol)))
@@ -59,15 +60,22 @@ object Pipeline {
           TshExtract.labelledCandidates(col(rawCol)))
         (d1, TshExtract.gatherCandidates(col(rawCol), col(s"${out}_lab")))
       }
+    val nullCands = lit(null).cast(graft.extract.TshGatherCandidates.schema)
     val staged = reuse match {
       case Some((rRaw, rOut)) =>
         val eq = col(rawCol) <=> col(rRaw)
         val (d1, cands) = freshCands(df)
+        val gated = when(eq, col(s"${rOut}_cands")).otherwise(cands)
+        // CASE branches evaluate lazily: a doc already accepted by an
+        // earlier cascade level never pays this level's parse — the
+        // reference's early-exit cost model (`app.py:153-163`) without
+        // the iterative form's persist/union machinery
         d1.withColumn(s"${out}_cands",
-          when(eq, col(s"${rOut}_cands")).otherwise(cands))
+          skipWhen.map(s => when(s, nullCands).otherwise(gated)).getOrElse(gated))
       case None =>
         val (d1, cands) = freshCands(df)
-        d1.withColumn(s"${out}_cands", cands)
+        d1.withColumn(s"${out}_cands",
+          skipWhen.map(s => when(s, nullCands).otherwise(cands)).getOrElse(cands))
     }
     staged
       .withColumn(s"${out}_best", TshExtract.best(col(s"${out}_cands")))
@@ -110,13 +118,19 @@ object Pipeline {
   /** (doc_id, first_media_ref, result struct `r`) for one explicit mode
     * or the columnar auto cascade.
     */
-  /** All three level results staged as columns r_l / r_p / r_o. */
+  /** All three level results staged as columns r_l / r_p / r_o; each
+    * later level's parse is skipped per-row once an earlier level is
+    * accepted (the skipped column degrades to a cheap placeholder the
+    * cascade never reads).
+    */
   private def autoStaged(docs: Dataset[DocRow]): DataFrame = {
     val d1 = withLevelResult(ocrAll(docs).toDF(), "light_raw", "r_l")
+    val accL = TshExtract.acceptWithRange(col("r_l"))
     val d2 = withLevelResult(d1, "premium_raw", "r_p",
-      reuse = Some(("light_raw", "r_l")))
+      reuse = Some(("light_raw", "r_l")), skipWhen = Some(accL))
+    val accP = TshExtract.acceptWithRange(col("r_p"))
     withLevelResult(d2, "optimum_raw", "r_o",
-      reuse = Some(("premium_raw", "r_p")))
+      reuse = Some(("premium_raw", "r_p")), skipWhen = Some(accL || accP))
   }
 
   /** Audit metric: which cascade level resolves each doc (`app.py`
@@ -264,10 +278,12 @@ object Pipeline {
     val heavyRes = mode match {
       case "auto" =>
         val d1 = withLevelResult(assembled, "light_raw", "r_l")
+        val accL = TshExtract.acceptWithRange(col("r_l"))
         val d2 = withLevelResult(d1, "premium_raw", "r_p",
-          reuse = Some(("light_raw", "r_l")))
+          reuse = Some(("light_raw", "r_l")), skipWhen = Some(accL))
+        val accP = TshExtract.acceptWithRange(col("r_p"))
         val d3 = withLevelResult(d2, "optimum_raw", "r_o",
-          reuse = Some(("premium_raw", "r_p")))
+          reuse = Some(("premium_raw", "r_p")), skipWhen = Some(accL || accP))
         d3.withColumn("r",
           TshExtract.cascadeAuto(col("r_l"), col("r_p"), col("r_o")))
       case lv =>

@@ -68,6 +68,8 @@ object ScalingBench {
       f""""docs_per_sec_lo":$thrLo%.0f,"docs_per_sec_hi":$thrHi%.0f,""" +
       f""""scaling_efficiency":$eff%.3f}"""
     println(json)
+    // BENCH.md is a curated document; only overwrite it on request
+    if (!sys.env.get("SPARK_GRAFT_WRITE_BENCH").contains("1")) return
     val md =
       s"""# BENCH — extraction throughput + scaling (auto cascade, skewed corpus)
          |
