@@ -12,7 +12,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "50000").toLong
+    // scale the extraction-bench corpus to the heap actually available
+    // (a bare spark-submit gives the driver 1g; don't GC-thrash there)
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val defaultDocs = if (heapGb < 2.5) "10000" else "50000"
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", defaultDocs).toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
