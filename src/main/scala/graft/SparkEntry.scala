@@ -259,7 +259,33 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))),
 
+    "q39_pivot" -> ((s, d) =>
+      // pivot as conditional aggregation (the portable form; Spark's
+      // .pivot() compiles to the same plan)
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(sum(when(col("l_linestatus") === "F", col("l_quantity"))
+          .otherwise(0.0)).as("qty_f"),
+          sum(when(col("l_linestatus") === "O", col("l_quantity"))
+            .otherwise(0.0)).as("qty_o"))),
+
     // ---- rows-only entries (not SQL-expressible in DuckDB) ---------------
+    "q40_sketch_aggs" -> ((s, d) =>
+      // HLL / quantile sketches: algorithms (and thus exact outputs)
+      // are engine-specific, so rows-only; exact twins are q38/q03
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_price"))),
+    "q41_map_ops" -> ((s, _) => {
+      // map-typed columns over the extraction output: error-class counts
+      val spansDf = Pipeline.extract(Corpus.generate(s, 1000), "auto")
+      spansDf.select(
+        map_from_entries(transform(col("spans"),
+          sp => struct(sp("kind"), sp("text")))).as("m"))
+        .select(explode(map_filter(col("m"),
+          (k, _) => k.isin("confidence", "error"))).as(Seq("kind", "text")))
+        .groupBy("kind", "text").agg(count(lit(1)).as("n"))
+    }),
     "q34_media_decode" -> ((s, _) =>
       graft.media.BinaryOps.mediaPipeline(s, 2000)),
     "q35_level_mix" -> ((s, _) =>
@@ -473,6 +499,12 @@ object SparkEntry {
 
     "q38_distinct_count" ->
       ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
-        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1")
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1"),
+
+    "q39_pivot" ->
+      ("SELECT l_returnflag, " +
+        "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END) AS qty_f, " +
+        "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END) AS qty_o " +
+        "FROM lineitem GROUP BY 1")
   )
 }
