@@ -34,7 +34,16 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(fn(spark, sfDir).count())
-      catch { case _: Throwable => -1.0 }
+      catch { case e: Throwable =>
+        // record the failure (-1) but never hide it: a silently-swallowed
+        // query error would poison the total and look like a fast query
+        System.err.println(s"[bench] $name FAILED: $e")
+        -1.0
+      }
+      // queries that cache (minhash band base, media assets) must not
+      // leak BlockManager storage into later timings — round 1's record
+      // under-reported extraction ~13x because of exactly this
+      spark.catalog.clearCache()
       name -> sec
     }
 

@@ -32,6 +32,14 @@ object Pipeline {
   val Modes = Seq("auto", "light", "premium", "optimum")
   private val Levels = Seq("light", "premium", "optimum")
 
+  /** Reject unknown modes up front, like the reference's `Literal` mode
+    * enum (`app.py:108`) — an unvalidated string would otherwise run as
+    * a phantom OCR level and quietly produce TSH_NOT_FOUND everywhere.
+    */
+  private def requireMode(mode: String): Unit =
+    require(Modes.contains(mode),
+      s"unknown mode '$mode' (expected one of ${Modes.mkString(", ")})")
+
   /** raw-text column named `rawCol` -> level-result struct column `out`
     * = (ok, value, unit, ref_min, ref_max, confidence, error, raw_text).
     * `reuse = Some((otherRaw, otherOut))` short-circuits the parse when
@@ -145,15 +153,18 @@ object Pipeline {
           .otherwise("failed"))
       .groupBy("resolved_level").agg(count(lit(1)).as("n_docs"))
 
-  def results(docs: Dataset[DocRow], mode: String): DataFrame = mode match {
-    case "auto" =>
-      autoStaged(docs)
-        .withColumn("r",
-          TshExtract.cascadeAuto(col("r_l"), col("r_p"), col("r_o")))
-        .select("doc_id", "first_media_ref", "r")
-    case level =>
-      withLevelResult(ocrLevel(docs, level).toDF(), "raw", "r")
-        .select("doc_id", "first_media_ref", "r")
+  def results(docs: Dataset[DocRow], mode: String): DataFrame = {
+    requireMode(mode)
+    mode match {
+      case "auto" =>
+        autoStaged(docs)
+          .withColumn("r",
+            TshExtract.cascadeAuto(col("r_l"), col("r_p"), col("r_o")))
+          .select("doc_id", "first_media_ref", "r")
+      case level =>
+        withLevelResult(ocrLevel(docs, level).toDF(), "raw", "r")
+          .select("doc_id", "first_media_ref", "r")
+    }
   }
 
   /** Iterative auto cascade (SURVEY.md §2.4.1 option 2): run each level
@@ -232,6 +243,7 @@ object Pipeline {
     */
   def extractSkewAware(docs: Dataset[DocRow], mode: String,
       threshold: Int = 16): DataFrame = {
+    requireMode(mode)
     import docs.sparkSession.implicits._
     val spark = docs.sparkSession
     val withCount = docs

@@ -22,18 +22,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, ExpressionInfo, Literal}
+
+  /** SQL-path builder, kept in lockstep with the DataFrame path
+    * (TshGatherCandidates.gather): a null input must behave like the
+    * reference's `_normalize_text(None) -> ''` (empty candidate array,
+    * tsh.py:39-40), so the child is coalesced with ''. Arity is
+    * validated here — `args.head` alone would silently drop extras and
+    * throw an opaque error on zero args.
+    */
+  private def build(args: Seq[Expression]): Expression = {
+    if (args.length != 1)
+      throw new IllegalArgumentException(
+        s"tsh_gather_candidates expects exactly 1 argument, got ${args.length}")
+    TshGatherCandidates(Coalesce(Seq(args.head, Literal(""))))
+  }
 
   val tshGatherCandidates: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("tsh_gather_candidates"),
     new ExpressionInfo(classOf[TshGatherCandidates].getName,
       "tsh_gather_candidates"),
-    (args: Seq[Expression]) => TshGatherCandidates(args.head))
+    build(_))
 
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tsh_gather_candidates", args => TshGatherCandidates(args.head),
-      "built-in")
+      "tsh_gather_candidates", build, "built-in")
 }

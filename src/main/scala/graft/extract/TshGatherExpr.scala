@@ -64,8 +64,14 @@ case class TshGatherCandidates(child: Expression)
     if (n >= 4) v / 1000.0 else if (n == 3) v / 100.0 else v
   }
 
+  // Locale.ROOT: Python str.lower() and Spark's lower() are locale-
+  // independent; the JVM default is not (Turkish 'I' -> 'ı' would
+  // silently disable the mui/ui-l fallback gate on such executors).
+  private def lowerRoot(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
   private def penaltyOf(label: String): Int = {
-    val l = label.toLowerCase
+    val l = lowerRoot(label)
     if (l.contains("fallback")) 2
     else if (l.contains("tsh")) 0
     else if (l.contains("thyr")) 1
@@ -127,7 +133,7 @@ case class TshGatherCandidates(child: Expression)
       var j = 0
       while (j < lines.length) {
         val line = lines(j)
-        val low = line.toLowerCase
+        val low = lowerRoot(line)
         if (low.contains("mui") || low.contains("ui/l")) {
           val um = unitFbRe.matcher(line)
           if (um.find()) {

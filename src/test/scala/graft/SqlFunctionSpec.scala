@@ -20,4 +20,32 @@ class SqlFunctionSpec extends AnyFunSuite {
       .as[(Double, String, Double, Double)].collect().toSeq
     assert(rows == Seq((2.35, "mUI/L", 0.27, 4.2)))
   }
+
+  test("SQL path treats NULL like the DataFrame path (empty array, not null)") {
+    GraftFunctions.register(spark)
+    // reference: _normalize_text(None) -> '' -> zero candidates
+    val got = spark.sql(
+      "SELECT size(tsh_gather_candidates(CAST(NULL AS string))) AS n")
+      .collect().head.getInt(0)
+    assert(got == 0)
+  }
+
+  test("SQL path validates arity with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT tsh_gather_candidates('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("exactly 1 argument"))
+  }
+
+  test("unknown pipeline modes are rejected up front (app.py Literal enum)") {
+    val docs = graft.corpus.Corpus.generate(spark, 4)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.results(docs, "bogus")
+    }
+    assert(e.getMessage.contains("unknown mode 'bogus'"))
+    intercept[IllegalArgumentException] {
+      Pipeline.extractSkewAware(docs, "turbo")
+    }
+  }
 }
