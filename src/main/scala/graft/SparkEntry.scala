@@ -310,7 +310,10 @@ object SparkEntry {
     "q28_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
-      VectorOps.annTopK(emb.filter(col("vec_id") < 5), emb, 3)
+      // 8-plane tables for the sf-sized corpus (500-2000 vectors); the
+      // 16-plane default is the >>1M-vector parameterization
+      VectorOps.annTopK(emb.filter(col("vec_id") < 5), emb, 3,
+          nPlanes = 8, tables = 8, probeBits = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     })
   )

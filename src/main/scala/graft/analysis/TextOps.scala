@@ -168,16 +168,23 @@ object TextOps {
       .select(col("id"), col("hs"), col("bk.band"), col("bk.bucket"))
       // materialization barrier: the self-join would otherwise recompute
       // the minhash chain per side AND pull inlined copies of it into
-      // pushed-down join-key constraints
+      // pushed-down join-key constraints. Cache lifecycle is the
+      // CALLER's: unpersist via spark.catalog.clearCache() (Bench does)
+      // or materialize `base` as a table at 100 TB — a long-lived
+      // session invoking this repeatedly accumulates BlockManager
+      // storage otherwise.
       .cache()
     val a = base.select(col("band"), col("bucket"), col("id").as("id_a"), col("hs").as("hs_a"))
     val b = base.select(col("band"), col("bucket"), col("id").as("id_b"), col("hs").as("hs_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      // dedupe pairs BEFORE the exact-Jaccard rerank: a pair colliding
+      // in k bands pays ONE set intersection, not k (the shingle-hash
+      // arrays ride along; they are identical per pair)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard"))
   }
 
   /** Signature straight from already-hashed shingles. */

@@ -53,55 +53,114 @@ object VectorOps {
   private def planeComponent(p: Column, d: Column): Column =
     when(pmod(xxhash64(p, d), lit(2)) === 0, 1.0d).otherwise(-1.0d)
 
-  /** Sign-LSH bucket id from `nPlanes` hyperplanes (expression-only).
-    * `table` offsets the plane seeds so multiple independent hash
-    * tables can be derived from the same formula.
+  /** Per-plane signed projections of `vec` onto `nPlanes` hyperplanes of
+    * table `t` (array<double>, expression-only). The projections carry
+    * the MARGIN information multi-probe needs: a small |projection|
+    * means that sign bit is the likeliest to differ for a true
+    * near-neighbor.
     */
-  def lshBucket(vec: Column, nPlanes: Int = 8, table: Int = 0): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val planeId = table * nPlanes + p
-      val proj = aggregate(
+  private def projections(vec: Column, nPlanes: Int, table: Int): Column =
+    transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+      aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * planeComponent(lit(planeId), d)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+          (x, d) => x * planeComponent(p + lit(table * nPlanes), d)),
+        lit(0.0d), (acc, v) => acc + v))
 
-  /** Multi-table band keys: array of (table, bucket) structs. */
+  /** 2^i as a long, expression-side (shiftleft has no Column-shift
+    * overload inside HOF lambdas; exact for i < 53).
+    */
+  private def bit(i: Column): Column = pow(lit(2.0d), i).cast("long")
+
+  /** Sign bucket from a projections array: bit i set iff proj(i) >= 0. */
+  private def bucketOf(projs: Column): Column =
+    aggregate(zip_with(projs, sequence(lit(0), size(projs) - 1),
+      (pr, i) => when(pr >= 0, bit(i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+
+  /** Sign-LSH bucket id (kept as the single-table public primitive). */
+  def lshBucket(vec: Column, nPlanes: Int = 16, table: Int = 0): Column =
+    bucketOf(projections(vec, nPlanes, table))
+
+  /** Corpus-side keys: one (table, bucket) per table. */
   private def lshKeys(vec: Column, nPlanes: Int, tables: Int): Column =
     array((0 until tables).map(t =>
       struct(lit(t).as("table"), lshBucket(vec, nPlanes, t).as("bucket"))): _*)
 
-  /** ANN top-k via multi-table sign-LSH: a candidate pair only needs to
-    * collide in ONE of `tables` independent k-plane tables (the
-    * standard LSH recall amplifier: recall ~= 1-(1-p^k)^L), then exact
-    * cosine rerank. The bucket join is co-partitioned and local — the
-    * scale path when the corpus no longer fits a broadcast/cross.
-    * Defaults (4 planes x 8 tables) give ~0.7 recall@3 even on
-    * uniformly random vectors, much higher on clustered real data.
+  /** Query-side multi-probe keys: per table, the home bucket plus every
+    * bucket reachable by flipping any subset of the `probeBits`
+    * smallest-margin sign bits — 2^probeBits probes per table. Flipping
+    * by margin (not at random) targets exactly the bits a true neighbor
+    * is most likely to disagree on, so recall is bought with probe
+    * count instead of by collapsing the bucket space.
+    */
+  private def probeKeys(vec: Column, nPlanes: Int, tables: Int,
+      probeBits: Int): Column = {
+    val nProbes = 1 << probeBits
+    val perTable = array((0 until tables).map(t =>
+      projections(vec, nPlanes, t)): _*)
+    flatten(zip_with(perTable, sequence(lit(0), lit(tables - 1)), (projs, t) => {
+      val home = bucketOf(projs)
+      // plane indices ordered by |projection| ascending (struct sort:
+      // (margin, index) lexicographic), first `probeBits` of them
+      val lowIdx = slice(transform(array_sort(
+        zip_with(projs, sequence(lit(0), size(projs) - 1),
+          (pr, i) => struct(abs(pr).as("m"), i.as("i")))),
+        s => s("i")), 1, probeBits)
+      transform(sequence(lit(0), lit(nProbes - 1)), mask => {
+        val flip = aggregate(zip_with(lowIdx, sequence(lit(0), lit(probeBits - 1)),
+          (idx, j) => when(mask.cast("long").bitwiseAND(bit(j)) > 0, bit(idx))
+            .otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc + b)
+        struct(t.as("table"), home.bitwiseXOR(flip).as("bucket"))
+      })
+    }))
+  }
+
+  /** ANN top-k via multi-probe multi-table sign-LSH, then exact cosine
+    * rerank — the 100 TB scale path when the corpus no longer fits a
+    * broadcast/cross. Defaults: 16 planes -> 65,536 buckets per table,
+    * so the per-bucket candidate set is ~N/65k and keeps SHRINKING
+    * relative to N (a 4-plane table's 16 buckets degenerate to a
+    * quadratic self-join at scale); recall is recovered by `tables`
+    * independent tables × 2^probeBits margin-guided probes per query
+    * (the standard multi-probe LSH trade: probes are O(1) extra query
+    * rows, buckets stay fine-grained). For corpora small enough that
+    * N/2^nPlanes rounds to zero (tests, sf<=0.01), pass a smaller
+    * nPlanes — brute force is the honest choice there anyway.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nPlanes: Int = 4, tables: Int = 8): DataFrame = {
-    def keyed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
-        // explode_outer: never-empty array + avoids the inferred-filter
-        // re-inline trap (see Pipeline.extractRows)
-        .withColumn("bk", explode_outer(lshKeys(col(vecAs), nPlanes, tables)))
-        .select(col(idAs), col(vecAs), col("bk.table"), col("bk.bucket"))
-    val q = keyed(queries, "query_id", "q_vec")
-    val c = keyed(corpus, "neighbor_id", "c_vec")
+      nPlanes: Int = 16, tables: Int = 4, probeBits: Int = 3): DataFrame = {
+    require(probeBits >= 0 && probeBits <= nPlanes,
+      s"probeBits must be in [0, nPlanes], got $probeBits vs $nPlanes")
+    // explode_outer everywhere: never-empty arrays + avoids the
+    // inferred-filter re-inline trap (see Pipeline.extractRows)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+      .withColumn("bk", explode_outer(lshKeys(col("c_vec"), nPlanes, tables)))
+      .select(col("neighbor_id"), col("c_vec"), col("bk.table"), col("bk.bucket"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .withColumn("bk", explode_outer(probeKeys(col("q_vec"), nPlanes, tables, probeBits)))
+      .select(col("query_id"), col("q_vec"), col("bk.table"), col("bk.bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // dedupe pairs BEFORE the expensive score: a pair colliding in
+      // several tables/probes pays ONE cosine, not one per collision
+      // (the vectors ride along; they are identical per pair)
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
-      // a pair colliding in several tables appears several times: dedupe
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(col("cos")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
+
+  /** Bucket-occupancy audit: rows (table, bucket, n) — the scale
+    * invariant is max(n) ≈ N/2^nPlanes per table, NOT N/16.
+    */
+  def bucketOccupancy(corpus: DataFrame, nPlanes: Int = 16,
+      tables: Int = 4): DataFrame =
+    corpus.select(col("vec_id"),
+        explode_outer(lshKeys(col("embedding"), nPlanes, tables)).as("bk"))
+      .groupBy(col("bk.table"), col("bk.bucket"))
+      .agg(count(lit(1)).as("n"))
 }
