@@ -1,10 +1,5 @@
 package graft.io
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,16 +11,19 @@ import graft.schema.DocRow
   * metrics to an audit table for exact resume").
   *
   * The work unit is a doc_id hash bucket (`pmod(xxhash64(doc_id), B)`).
-  * Per bucket the job writes results to `outDir/bucket=k` (overwrite ->
-  * idempotent) and then commits one audit record via atomic
-  * write-temp + rename — the same append-only atomic-commit semantics
-  * an Iceberg audit table gives on a real cluster (no Iceberg runtime
-  * jar ships in this sandbox, so the seam is a Parquet+JSON-manifest
-  * stand-in; swapping `.format("iceberg")` in is a config change, the
-  * commit protocol is identical). Resume = re-run with the same run_id:
-  * committed buckets are skipped exactly; a half-written bucket without
-  * its audit record is rewritten (overwrite), so results are exactly-
-  * once per doc_id.
+  * Per bucket the job writes results and then commits one audit record;
+  * both go through the [[DocTableIO]] seam (Parquet + JSON-manifest
+  * here, `.format("iceberg")` on a real cluster — the commit protocol
+  * is identical). Resume = re-run with the same run_id: committed
+  * buckets are skipped exactly; a half-written bucket without its audit
+  * record is rewritten (overwrite), so results are exactly-once per
+  * doc_id.
+  *
+  * Extraction takes the skew-aware path: oversized multi-page docs
+  * (media-span count > `skewThreshold`) are page-exploded across the
+  * cluster and reassembled with one bounded shuffle, so a single
+  * 200-page doc cannot pin a whole bucket's wall time to one task
+  * (GoldenSpec proves the path span-identical to the map-only one).
   *
   * At 100 TB the per-bucket filter is a partition-pruned scan (bucket =
   * Iceberg partition); here it's a recomputed filter over the synthetic
@@ -38,50 +36,13 @@ object ExtractJob {
       n_ocr_failed: Long, n_not_found: Long, wall_ms: Long,
       committed_at_ms: Long)
 
-  private def auditDir(outDir: String, runId: String): Path =
-    Paths.get(outDir, "_audit", runId)
+  def committedBuckets(outDir: String, runId: String,
+      io: DocTableIO = ParquetTableIO): Set[Int] =
+    io.committedBuckets(outDir, runId)
 
-  /** Committed bucket ids for a run (the resume set). */
-  def committedBuckets(outDir: String, runId: String): Set[Int] = {
-    val dir = auditDir(outDir, runId)
-    if (!Files.isDirectory(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
-        s.stripPrefix("bucket-").stripSuffix(".json").toInt
-      }.toSet
-  }
-
-  def readAudit(outDir: String, runId: String): Seq[AuditRecord] = {
-    val dir = auditDir(outDir, runId)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map { p =>
-        val m = Files.readString(p)
-        def f(k: String): Long =
-          s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(m).get.group(1).toLong
-        AuditRecord(
-          s""""run_id":\\s*"([^"]*)"""".r.findFirstMatchIn(m).get.group(1),
-          f("bucket").toInt, f("n_docs"), f("n_ok"), f("n_ocr_failed"),
-          f("n_not_found"), f("wall_ms"), f("committed_at_ms"))
-      }.sortBy(_.bucket)
-  }
-
-  private def commitAudit(outDir: String, rec: AuditRecord): Unit = {
-    val dir = auditDir(outDir, rec.run_id)
-    Files.createDirectories(dir)
-    val json =
-      s"""{"run_id": "${rec.run_id}", "bucket": ${rec.bucket}, """ +
-        s""""n_docs": ${rec.n_docs}, "n_ok": ${rec.n_ok}, """ +
-        s""""n_ocr_failed": ${rec.n_ocr_failed}, "n_not_found": ${rec.n_not_found}, """ +
-        s""""wall_ms": ${rec.wall_ms}, "committed_at_ms": ${rec.committed_at_ms}}"""
-    val tmp = dir.resolve(s".bucket-${rec.bucket}.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    // atomic publish: the record only becomes visible fully written
-    Files.move(tmp, dir.resolve(s"bucket-${rec.bucket}.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  def readAudit(outDir: String, runId: String,
+      io: DocTableIO = ParquetTableIO): Seq[AuditRecord] =
+    io.readAudit(outDir, runId)
 
   /** Run (or resume) an extraction over `docs`. Returns the audit
     * records committed by THIS invocation. `failAfterBucket` injects a
@@ -89,18 +50,19 @@ object ExtractJob {
     */
   def run(spark: SparkSession, docs: Dataset[DocRow], mode: String,
       outDir: String, runId: String, buckets: Int = 16,
-      failAfterBuckets: Int = -1): Seq[AuditRecord] = {
-    val done = committedBuckets(outDir, runId)
+      failAfterBuckets: Int = -1, skewThreshold: Int = 16,
+      io: DocTableIO = ParquetTableIO): Seq[AuditRecord] = {
+    val done = io.committedBuckets(outDir, runId)
     val pending = (0 until buckets).filterNot(done)
     var processed = 0
     val out = Seq.newBuilder[AuditRecord]
     pending.foreach { k =>
       val t0 = System.nanoTime()
       val subset = docs.filter(pmod(xxhash64(col("doc_id")), lit(buckets)) === k)
-      val spansDf = Pipeline.extract(subset, mode)
-      spansDf.write.mode("overwrite").parquet(s"$outDir/bucket=$k")
+      val spansDf = Pipeline.extractSkewAware(subset, mode, skewThreshold)
+      io.writeBucket(spansDf, outDir, k)
       // metrics from the just-written bucket (no recompute)
-      val written = spark.read.parquet(s"$outDir/bucket=$k")
+      val written = io.readBucket(spark, outDir, k)
       val stats = written.select(
         count(lit(1)).as("n_docs"),
         sum(when(exists(col("spans"), s => s("kind") === lit("value")), 1L)
@@ -116,7 +78,7 @@ object ExtractJob {
         if (stats.isNullAt(2)) 0L else stats.getLong(2),
         if (stats.isNullAt(3)) 0L else stats.getLong(3),
         (System.nanoTime() - t0) / 1000000, System.currentTimeMillis())
-      commitAudit(outDir, rec)
+      io.commitAudit(outDir, rec)
       out += rec
       processed += 1
       if (failAfterBuckets > 0 && processed >= failAfterBuckets)
@@ -127,8 +89,7 @@ object ExtractJob {
   }
 
   /** Read the combined results of a (completed or partial) run. */
-  def readResults(spark: SparkSession, outDir: String) = {
-    spark.read.option("basePath", outDir)
-      .parquet(s"$outDir/bucket=*")
-  }
+  def readResults(spark: SparkSession, outDir: String,
+      io: DocTableIO = ParquetTableIO) =
+    io.readResults(spark, outDir)
 }

@@ -46,4 +46,23 @@ class ResumeSpec extends AnyFunSuite {
     assert(audit.map(_.n_ok).sum +
       audit.map(_.n_ocr_failed).sum + audit.map(_.n_not_found).sum == 300)
   }
+
+  test("job through an explicit TableIO seam, skewed corpus, skew-aware path") {
+    val io = new graft.io.FormatTableIO("parquet")
+    // skew=true plants ~1% oversized multi-page docs; threshold 16 routes
+    // them through the page-explode path inside the audited job
+    val docs = Corpus.generate(spark, 400, skew = true).cache()
+    val out = Files.createTempDirectory("graft-seam").toString
+    val recs = ExtractJob.run(spark, docs, "auto", out, "r1", buckets = 4,
+      skewThreshold = 16, io = io)
+    assert(recs.size == 4)
+    assert(ExtractJob.committedBuckets(out, "r1", io) == (0 until 4).toSet)
+    val got = ExtractJob.readResults(spark, out, io)
+    assert(got.count() == 400)
+    // skew-aware job output == plain map-only extract, byte-identical
+    val direct = Pipeline.extract(docs, "auto")
+    assert(got.select("doc_id", "spans").except(direct).count() == 0)
+    assert(direct.except(got.select("doc_id", "spans")).count() == 0)
+    assert(ExtractJob.readAudit(out, "r1", io).map(_.n_docs).sum == 400)
+  }
 }
