@@ -102,7 +102,7 @@ object Pipeline {
         val p = OcrRun.ocrDoc(eng, "premium", d.spans)
         val o = OcrRun.ocrDoc(eng, "optimum", d.spans)
         DocOcrAll(d.doc_id, OcrRun.firstMediaRef(d.spans),
-          l.rawText, p.rawText, p.nBoxes, o.rawText, o.nBoxes)
+          l.rawText, p.rawText, p.boxes, o.rawText, o.boxes)
       }
     }
   }
@@ -118,7 +118,7 @@ object Pipeline {
       val eng = OcrEnginePool.engine
       it.map { d =>
         val r = OcrRun.ocrDoc(eng, level, d.spans)
-        DocOcrOne(d.doc_id, OcrRun.firstMediaRef(d.spans), r.rawText, r.nBoxes, d.spans)
+        DocOcrOne(d.doc_id, OcrRun.firstMediaRef(d.spans), r.rawText, r.boxes, d.spans)
       }
     }
   }
@@ -279,10 +279,14 @@ object Pipeline {
       .map { case (docId, parts) =>
         val firstRef = parts.collectFirst { case p if p._2 == "media" => p._3 }
           .getOrElse("")
+        // heavy docs reassemble box COUNTS only (the failure rule's
+        // requirement) — shuffling a 200-page doc's full box structs
+        // would defeat the bounded-shuffle point; box content for QC is
+        // available via ocrAll on the doc in question
         val raws = Levels.zipWithIndex.map { case (lv, li) =>
           val raw = parts.map(_._4(li)).mkString("\n")
           val nb = parts.map(_._5(li)).sum
-          OcrRun.levelResult(lv, raw, nb).rawText.orNull
+          if (OcrRun.isFailed(lv, raw, nb)) null else raw
         }
         (docId, firstRef, raws(0), raws(1), raws(2))
       }.toDF("doc_id", "first_media_ref", "light_raw", "premium_raw", "optimum_raw")

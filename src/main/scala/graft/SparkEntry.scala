@@ -288,6 +288,16 @@ object SparkEntry {
     }),
     "q34_media_decode" -> ((s, _) =>
       graft.media.BinaryOps.mediaPipeline(s, 2000)),
+    "q42_ocr_boxes" -> ((s, _) => {
+      // O2 audit surface: per-doc OCR box stats (ocr_engine.py:88-97
+      // box dicts; engine-specific content -> rows-only)
+      val ocr = Pipeline.ocrAll(Corpus.generate(s, 300)).toDF()
+      ocr.select(col("doc_id"), explode_outer(col("premium_boxes")).as("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(col("b")).as("n_boxes"),
+          max(col("b.conf")).as("max_conf"),
+          min(col("b.left")).as("min_left"))
+    }),
     "q35_level_mix" -> ((s, _) =>
       Pipeline.levelMix(Corpus.generate(s, 2000))),
     "q24_tsh_auto" -> ((s, _) =>

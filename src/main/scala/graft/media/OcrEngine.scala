@@ -74,28 +74,37 @@ object OcrRun {
     * (`ocr_engine.py:142-144`); premium/optimum fail only when text and
     * boxes are both empty (`ocr_engine.py:197-199,266-268`).
     */
-  def levelResult(level: String, rawText: String, nBoxes: Int): LevelOcr = {
+  /** Level-failure predicate over (text, box count) — shared by the
+    * full-box path below and the skew path's count-only reassembly.
+    */
+  def isFailed(level: String, rawText: String, nBoxes: Int): Boolean = {
     val blank = rawText.trim.isEmpty
-    val failed = if (level == "light") blank else blank && nBoxes == 0
-    LevelOcr(if (failed) None else Some(rawText), nBoxes)
+    if (level == "light") blank else blank && nBoxes == 0
   }
+
+  def levelResult(level: String, rawText: String,
+      boxes: Seq[OcrBox]): LevelOcr =
+    LevelOcr(if (isFailed(level, rawText, boxes.length)) None else Some(rawText),
+      boxes)
 
   /** Assemble one document's OCR output at one level: spans in offset
     * order; text spans contribute their inline text verbatim, media
-    * spans their OCR'd page text; joined with '\n'.
+    * spans their OCR'd page text; joined with '\n'. Boxes concatenate
+    * in the same span order (`ocr_engine.py` emits them in token order
+    * per page).
     */
   def ocrDoc(engine: OcrEngine, level: String,
       spans: Seq[graft.schema.DocSpan]): LevelOcr = {
     val ordered = spans.sortBy(_.offset)
-    var nBoxes = 0
+    val allBoxes = Seq.newBuilder[OcrBox]
     val parts = ordered.map { s =>
       if (s.kind == "media") {
         val (t, boxes) = engine.ocrPage(level, s.media_ref)
-        nBoxes += boxes.length
+        allBoxes ++= boxes
         t
       } else s.text
     }
-    levelResult(level, parts.mkString("\n"), nBoxes)
+    levelResult(level, parts.mkString("\n"), allBoxes.result())
   }
 
   def firstMediaRef(spans: Seq[graft.schema.DocSpan]): String =

@@ -24,28 +24,33 @@ final case class OcrBox(text: String, left: Int, top: Int, width: Int, height: I
   * (OCR_FAILED, `app.py:91-92`): light fails on blank text
   * (`ocr_engine.py:142-144`), premium/optimum only when text AND boxes
   * are both empty (`ocr_engine.py:197-199,266-268`).
+  * `boxes` carries the full token boxes (`ocr_engine.py:88-97`) — the
+  * parser never reads them (quirk Q1) but the audit/QC surface does.
   */
-final case class LevelOcr(rawText: Option[String], nBoxes: Int)
+final case class LevelOcr(rawText: Option[String], boxes: Seq[OcrBox])
 
 /** Per-document OCR output for all three levels (columnar cascade input).
   * `first_media_ref` = media_ref of the first media span in offset order
   * ("" if the doc has no media spans); it tags the raw_text output span.
+  * Box content (not just a count) is carried per `ocr_engine.py:88-97`;
+  * Catalyst prunes the box columns from any plan that doesn't read them
+  * (the parse path doesn't — quirk Q1), so the hot path pays nothing.
   */
 final case class DocOcrAll(
     doc_id: String,
     first_media_ref: String,
     light_raw: Option[String],
     premium_raw: Option[String],
-    premium_boxes: Int,
+    premium_boxes: Seq[OcrBox],
     optimum_raw: Option[String],
-    optimum_boxes: Int)
+    optimum_boxes: Seq[OcrBox])
 
 /** Per-document OCR output for a single level (iterative cascade input). */
 final case class DocOcrOne(
     doc_id: String,
     first_media_ref: String,
     raw: Option[String],
-    n_boxes: Int,
+    boxes: Seq[OcrBox],
     spans: Seq[DocSpan])
 
 object SpanKinds {
