@@ -135,7 +135,7 @@ object Corpus {
     if (tsh.isEmpty) fillers
     else {
       val p =
-        if (family(i) == FamQ2) nf // keep inside light's bottom-65% crop
+        if (family(i) == FamQ2) nf // keep inside the light/premium bottom-65% crop
         else (h(i, "pos") % (nf + 1)).toInt
       val (a, b) = fillers.splitAt(p)
       a ++ tsh ++ b
@@ -143,7 +143,9 @@ object Corpus {
   }
 
   /** Bottom-crop analog of `preprocess_for_bio` (`ocr_engine.py:39`):
-    * light keeps the bottom 65% of lines.
+    * light AND premium keep the bottom 65% of lines (both call
+    * `preprocess_for_bio`, `ocr_engine.py:127,171`); optimum does not
+    * crop (`ocr_engine.py:219-246` upscales + binarizes the full page).
     */
   def crop(lines: Seq[String]): Seq[String] = lines.drop((0.35 * lines.length).toInt)
 

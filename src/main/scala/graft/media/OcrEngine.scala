@@ -24,19 +24,22 @@ trait OcrEngine extends Serializable {
 /** Deterministic stand-in for the Tesseract stack (FIXTURES.md §3).
   *
   * Per level (mirroring `ocr_engine.py`):
-  *  - light   (`ocr_engine.py:108-146`): bottom-65% crop analog
-  *    (`ocr_engine.py:39`), text only, no boxes;
-  *  - premium (`ocr_engine.py:153-201`): full page text + one box per
-  *    whitespace token;
-  *  - optimum (`ocr_engine.py:208-270`): binarization-rescue analog —
-  *    sees the lines the `hard` tag hides from light/premium; for the
-  *    Q2 family the binarization instead corrupts the TSH digits.
+  *  - light   (`ocr_engine.py:108-146`): `preprocess_for_bio` bottom-65%
+  *    crop analog (`ocr_engine.py:39`), text only, no boxes;
+  *  - premium (`ocr_engine.py:153-201`): SAME `preprocess_for_bio` crop
+  *    (`ocr_engine.py:171-177` calls it too — premium is light + boxes
+  *    + the weaker both-empty failure rule, NOT a wider view), one box
+  *    per whitespace token;
+  *  - optimum (`ocr_engine.py:208-270`): full page (no crop — it
+  *    upscales + binarizes instead); binarization-rescue analog sees
+  *    the lines the `hard` tag hides from light/premium; for the Q2
+  *    family the binarization instead corrupts the TSH digits.
   */
 object SimulatedOcr extends OcrEngine {
   override def ocrPage(level: String, mediaRef: String): (String, Seq[OcrBox]) = {
     val (i, k, carrier) = Corpus.parseMediaRef(mediaRef)
     val full = Corpus.pageLines(i, k, level, carrier)
-    val lines = if (level == "light") Corpus.crop(full) else full
+    val lines = if (level == "optimum") full else Corpus.crop(full)
     val text = lines.mkString("\n")
     val boxes =
       if (level == "light") Seq.empty
