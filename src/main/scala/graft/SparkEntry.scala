@@ -301,7 +301,10 @@ object SparkEntry {
     "q35_level_mix" -> ((s, _) =>
       Pipeline.levelMix(Corpus.generate(s, 2000))),
     "q24_tsh_auto" -> ((s, _) =>
-      Pipeline.extractRows(Corpus.generate(s, 512), "auto")),
+      // the FLAGSHIP pipeline, hash-checked against reference-executed
+      // expected spans (fixtures/expected_auto_spans.parquet covers the
+      // same 200-doc fixture corpus; see gen_expected_parquet.py)
+      Pipeline.extractRows(Corpus.generate(s, 200), "auto")),
     "q25_minhash_pairs" -> ((s, d) => {
       // inject near-dups so the candidate set is non-empty
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -518,6 +521,13 @@ object SparkEntry {
       ("SELECT l_returnflag, " +
         "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END) AS qty_f, " +
         "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END) AS qty_o " +
-        "FROM lineitem GROUP BY 1")
+        "FROM lineitem GROUP BY 1"),
+
+    // flagship: expected spans were produced by EXECUTING the reference
+    // parser+cascade over the same 200-doc corpus (gen_golden.py ->
+    // gen_expected_parquet.py); the oracle just reads them back
+    "q24_tsh_auto" ->
+      ("SELECT doc_id, kind, text, media_ref, \"order\" " +
+        "FROM read_parquet('/root/repo/fixtures/expected_auto_spans.parquet')")
   )
 }
