@@ -288,6 +288,29 @@ object SparkEntry {
     }),
     "q34_media_decode" -> ((s, _) =>
       graft.media.BinaryOps.mediaPipeline(s, 2000)),
+    "q43_analytes" -> ((s, _) => {
+      // generic lab-entity surface (north_star): best candidate per
+      // secondary analyte from full-page (optimum) text, hash-checked
+      // against an independent Python re-implementation over the same
+      // corpus (fixtures/gen_analyte_expected.py)
+      val ocr = Pipeline.ocrAll(Corpus.generate(s, 200)).toDF()
+      graft.extract.AnalyteExtract.withEntities(ocr, "optimum_raw", "ents")
+        .select(col("doc_id"), explode_outer(col("ents")).as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("doc_id"), col("e.analyte").as("analyte"),
+          col("e.value").as("value"), col("e.unit").as("unit"),
+          col("e.ref_min").as("ref_min"), col("e.ref_max").as("ref_max"))
+    }),
+    "q44_report_date" -> ((s, _) => {
+      // date entity: page-header date from the full text; null from the
+      // cropped light view (the header sits in the cropped top 35%)
+      val ocr = Pipeline.ocrAll(Corpus.generate(s, 200)).toDF()
+      ocr.select(col("doc_id"),
+        graft.extract.AnalyteExtract.reportDateIso(col("optimum_raw"))
+          .as("report_date"),
+        graft.extract.AnalyteExtract.reportDateIso(col("light_raw"))
+          .as("light_date"))
+    }),
     "q42_ocr_boxes" -> ((s, _) => {
       // O2 audit surface: per-doc OCR box stats (ocr_engine.py:88-97
       // box dicts; engine-specific content -> rows-only)
@@ -528,6 +551,16 @@ object SparkEntry {
     // gen_expected_parquet.py); the oracle just reads them back
     "q24_tsh_auto" ->
       ("SELECT doc_id, kind, text, media_ref, \"order\" " +
-        "FROM read_parquet('/root/repo/fixtures/expected_auto_spans.parquet')")
+        "FROM read_parquet('/root/repo/fixtures/expected_auto_spans.parquet')"),
+
+    // generic analyte + date entities: expected values produced by an
+    // INDEPENDENT Python implementation of the documented semantics over
+    // the dumped corpus texts (fixtures/gen_analyte_expected.py)
+    "q43_analytes" ->
+      ("SELECT doc_id, analyte, value, unit, ref_min, ref_max " +
+        "FROM read_parquet('/root/repo/fixtures/expected_analytes.parquet')"),
+    "q44_report_date" ->
+      ("SELECT doc_id, report_date, light_date " +
+        "FROM read_parquet('/root/repo/fixtures/expected_dates.parquet')")
   )
 }

@@ -88,14 +88,40 @@ object Corpus {
   private val Fillers: IndexedSeq[String] = IndexedSeq(
     "Laboratoire d'analyses médicales",
     "Cholestérol 1,9 g/L",
-    "Glycémie 0,95 g/L",
+    "Glycémie 0,95 g/L", // template — rendered with a seeded value below
     "Prélèvement du matin",
     "Résultats exprimés en unités internationales",
     "Dr. MARTIN - Biologiste",
     "Page 1/1",
-    "Hémoglobine 13,5 g/dL",
+    "Hémoglobine 13,5 g/dL", // template — rendered with a seeded value below
     "Créatinine 75 µmol/L",
     "---")
+
+  // ---- secondary analytes + report date (generic lab-entity surface) -----
+  /** Seeded glycemia value: 0.70 .. 1.29 g/L. */
+  def glyValue(i: Long, k: Int, j: Int): Double =
+    (70 + h(i, k, j, "gly") % 60) / 100.0
+  /** Seeded hemoglobin value: 11.5 .. 17.4 g/dL. */
+  def hbValue(i: Long, k: Int, j: Int): Double =
+    (115 + h(i, k, j, "hb") % 60) / 10.0
+  /** Seeded per-doc report date, French dd/MM/yyyy rendering. */
+  def reportDate(i: Long): String = {
+    val d = 1 + (h(i, "rd_day") % 28).toInt
+    val m = 1 + (h(i, "rd_mon") % 12).toInt
+    val y = 2023 + (h(i, "rd_yr") % 2).toInt
+    f"$d%02d/$m%02d/$y%04d"
+  }
+
+  /** One filler line: the glycemia / hemoglobin templates render a
+    * seeded per-(doc,span,slot) value so a second (and third) analyte
+    * family exists in the corpus with varied values, like TSH.
+    */
+  private def fillerLine(i: Long, k: Int, j: Int, salt: String): String =
+    pick(Fillers, i, k, j, salt) match {
+      case f if f.startsWith("Glycémie") => s"Glycémie ${fr(glyValue(i, k, j))} g/L"
+      case f if f.startsWith("Hémoglobine") => s"Hémoglobine ${fr(hbValue(i, k, j))} g/dL"
+      case f => f
+    }
 
   // ---- document structure -------------------------------------------------
   /** Span kinds in offset order. Unreadable docs are media-only so the
@@ -126,19 +152,23 @@ object Corpus {
     */
   def pageLines(i: Long, k: Int, level: String, isCarrier: Boolean): Seq[String] = {
     if (isUnreadable(i)) return Seq.empty
+    // page header carries the report date (like a real lab report); it
+    // sits in the top 35%, so light/premium lose it to the crop and the
+    // date entity is an optimum/full-text extraction
+    val header = Seq(s"Prélèvement du ${reportDate(i)}")
     val nf = 4 + (h(i, k, "nf") % 6).toInt
-    val fillers = (0 until nf).map(j => pick(Fillers, i, k, j, "fill"))
+    val fillers = (0 until nf).map(j => fillerLine(i, k, j, "fill"))
     val tsh =
       if (!isCarrier) Seq.empty
       else if (isHard(i) && family(i) != FamQ2 && level != "optimum") Seq.empty
       else tshLines(i, level)
-    if (tsh.isEmpty) fillers
+    if (tsh.isEmpty) header ++ fillers
     else {
       val p =
         if (family(i) == FamQ2) nf // keep inside the light/premium bottom-65% crop
         else (h(i, "pos") % (nf + 1)).toInt
       val (a, b) = fillers.splitAt(p)
-      a ++ tsh ++ b
+      header ++ a ++ tsh ++ b
     }
   }
 
@@ -154,7 +184,7 @@ object Corpus {
     */
   def textSpanText(i: Long, k: Int, isCarrier: Boolean): String = {
     val nf = 1 + (h(i, k, "tf") % 3).toInt
-    val fillers = (0 until nf).map(j => pick(Fillers, i, k, j, "tfill"))
+    val fillers = (0 until nf).map(j => fillerLine(i, k, j, "tfill"))
     val tsh = if (isCarrier) tshLines(i, "text") else Seq.empty
     (fillers ++ tsh).mkString("\n")
   }

@@ -46,12 +46,12 @@ object TshExtract {
         WsRun, " "),
       "\n+", "\n")
 
-  /** N3 — `_to_float` (`parsers/tsh.py:47-57`): strip spaces/NBSP,
+  /** N3 — `_to_float` (`parsers/tsh.py:47-57`): strip spaces AND NBSP (reference `_to_float`, tsh.py:51),
     * comma->dot, parse-or-null. Inputs in the pipeline are always NUM
     * matches, so a shape-guarded plain cast is exact (and ANSI-safe).
     */
   def toFloat(c: Column): Column = {
-    val cleaned = regexp_replace(translate(c, "  ", ""), ",", ".")
+    val cleaned = regexp_replace(translate(c, "  ", ""), ",", ".")
     when(c.isNull || c === "", nullD)
       .when(cleaned.rlike(FloatShape), cleaned.cast(DoubleType))
       .otherwise(nullD)
@@ -73,14 +73,15 @@ object TshExtract {
       .otherwise(dval)
   }
 
-  private def nullIfEmpty(c: Column): Column = when(c === "", nullS).otherwise(c)
+  private[extract] def nullIfEmpty(c: Column): Column =
+    when(c === "", nullS).otherwise(c)
 
   /** G2 — `_score_candidate`'s label penalty (`parsers/tsh.py:282-290`).
     * `fallback` is tested before `tsh` (so the fallback label scores 2),
     * and dotted labels like "T.S.H" contain neither "tsh" nor "thyr" and
     * genuinely score 3 — the reference's `else` branch is reachable.
     */
-  private def labelPenalty(label: Column): Column = {
+  private[extract] def labelPenalty(label: Column): Column = {
     val l = lower(label)
     when(l.contains("fallback"), 2)
       .when(l.contains("tsh"), 0)
@@ -89,7 +90,7 @@ object TshExtract {
   }
 
   /** Candidate struct: leading fields are the total sort key (Q7). */
-  private def candidate(hasRange: Column, penalty: Column, spanStart: Column,
+  private[extract] def candidate(hasRange: Column, penalty: Column, spanStart: Column,
       lineNo: Column, value: Column, unit: Column, refMin: Column,
       refMax: Column, label: Column): Column =
     struct(
@@ -98,57 +99,18 @@ object TshExtract {
       value.as("value"), unit.as("unit"),
       refMin.as("ref_min"), refMax.as("ref_max"), label.as("label"))
 
-  private def linesOf(raw: Column): Column = split(normalize(raw), "\n")
+  private[extract] def linesOf(raw: Column): Column = split(normalize(raw), "\n")
 
   /** E1-E6 — `_extract_tsh_from_labelled_line` over every line
     * (`parsers/tsh.py:131-182,251-257`); returns the array of candidate
-    * structs in line order.
+    * structs in line order. The chain itself lives in
+    * [[AnalyteExtract.labelledCandidates]] — TSH is the reference's
+    * instance of the generic labelled-analyte machinery (the "thyr"
+    * half of the reference's gate is semantically inert — E2 re-requires
+    * the label — so label_pos>0 is the net gate).
     */
-  def labelledCandidates(raw: Column): Column = {
-    val s1 = transform(linesOf(raw), (l, i) =>
-      struct(l.as("line"), i.as("line_no"),
-        regexp_instr(l, lit(Label)).as("label_pos"))) // 1-based; 0 = none
-    // E1 gate (`parsers/tsh.py:252-253`): drop label-less lines NOW so
-    // the expensive per-line stages below only run on candidate lines
-    // (the "thyr"-substring half of the reference's gate is semantically
-    // inert — E2 re-requires the label — so label_pos>0 is the net gate)
-    val s1g = filter(s1, c => c("label_pos") > 0)
-    val s1l = transform(s1g, c =>
-      struct(c("line"), c("line_no"), c("label_pos"),
-        regexp_extract(c("line"), Label, 0).as("label")))
-    // snippet = everything after the label (`parsers/tsh.py:142`)
-    val s2 = transform(s1l, c =>
-      struct(c("line_no"), c("label_pos"), c("label"),
-        c("line").substr(c("label_pos") + length(c("label")),
-          length(c("line"))).as("snippet")))
-    val s3 = transform(s2, c =>
-      struct(c("line_no"), c("label_pos"), c("label"), c("snippet"),
-        get(regexp_extract_all(c("snippet"), lit(Num), lit(0)), lit(0))
-          .as("first_num"), // first number after label (Q8)
-        regexp_instr(c("snippet"), lit(Num)).as("num_pos"),
-        size(regexp_extract_all(c("snippet"), lit(Num), lit(0))).as("n_nums")))
-    val s4 = transform(s3, c =>
-      struct(c("line_no"), c("label_pos"), c("label"), c("first_num"), c("n_nums"),
-        c("snippet").substr(c("num_pos") + length(c("first_num")),
-          length(c("snippet"))).as("after")))
-    val s5 = transform(s4, c =>
-      struct(c("line_no"), c("label_pos"), c("label"), c("n_nums"),
-        toFloat(c("first_num")).as("value"),
-        // unit searched in a 25-char window after the value (quirk Q10)
-        nullIfEmpty(regexp_extract(substring(c("after"), 1, 25), UnitLabelled, 0))
-          .as("unit"),
-        adjustRefValue(nullIfEmpty(regexp_extract(c("after"), Range, 1)))
-          .as("ref_min"),
-        adjustRefValue(nullIfEmpty(regexp_extract(c("after"), Range, 2)))
-          .as("ref_max")))
-    val cands = transform(s5, c =>
-      when(c("label_pos") > 0 && c("n_nums") > 0 && c("value").isNotNull,
-        candidate(
-          when(c("ref_min").isNotNull && c("ref_max").isNotNull, 0).otherwise(1),
-          labelPenalty(c("label")), c("label_pos") - 1, c("line_no"),
-          c("value"), c("unit"), c("ref_min"), c("ref_max"), c("label"))))
-    filter(cands, c => c.isNotNull)
-  }
+  def labelledCandidates(raw: Column): Column =
+    AnalyteExtract.labelledCandidates(raw, Label, UnitLabelled)
 
   /** E7-E11 — `_extract_tsh_from_mui_line` over every line
     * (`parsers/tsh.py:189-239`): unit-anchored fallback; value = LAST
