@@ -29,8 +29,19 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // absorb session/codegen warmup so q01 isn't charged for it
+    // absorb session/codegen warmup so the first timing isn't charged it
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    // flagship extraction throughput FIRST, in a still-clean JVM (round
+    // 1 measured it last and recorded ~13x under the engine's real rate:
+    // leaked caches + GC/JIT residue from 40+ queries). Best-of-3 — the
+    // host steals CPU in bursts.
+    val docs = Corpus.generate(spark, benchDocs, skew = true,
+      partitions = cpus.toInt * 4)
+    Pipeline.extractRows(docs, "auto").count() // warm codegen/JIT
+    val extractSec = (1 to 3)
+      .map(_ => time(Pipeline.extractRows(docs, "auto").count())).min
+    val docsPerSec = benchDocs / extractSec
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(fn(spark, sfDir).count())
@@ -41,21 +52,10 @@ object Bench {
         -1.0
       }
       // queries that cache (minhash band base, media assets) must not
-      // leak BlockManager storage into later timings — round 1's record
-      // under-reported extraction ~13x because of exactly this
+      // leak BlockManager storage into later timings
       spark.catalog.clearCache()
       name -> sec
     }
-
-    // flagship extraction throughput (docs/sec, auto cascade, skewed
-    // corpus); best-of-2 measured runs — the host steals CPU in bursts
-    val docs = Corpus.generate(spark, benchDocs, skew = true,
-      partitions = cpus.toInt * 4)
-    Pipeline.extractRows(docs, "auto").count() // warm codegen/JIT
-    val extractSec = Seq(
-      time(Pipeline.extractRows(docs, "auto").count()),
-      time(Pipeline.extractRows(docs, "auto").count())).min
-    val docsPerSec = benchDocs / extractSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -347,9 +347,11 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
       // 8-plane tables for the sf-sized corpus (500-2000 vectors); the
-      // 16-plane default is the >>1M-vector parameterization
+      // 16-plane default is the >>1M-vector parameterization. 4 tables
+      // x 8 margin-guided probes: same candidate volume as 8 tables x 4
+      // probes at half the corpus-side projection work
       VectorOps.annTopK(emb.filter(col("vec_id") < 5), emb, 3,
-          nPlanes = 8, tables = 8, probeBits = 2)
+          nPlanes = 8, tables = 4, probeBits = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     })
   )
