@@ -1,0 +1,110 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused MinHash signature as a native Catalyst Expression — the
+  * performance path for the near-dup pipeline's per-row signature
+  * (preference order (b) of SURVEY.md §7.5, same pattern as
+  * TshGatherCandidates): one pass over the shingle hashes computing all
+  * `m` permutation minima in a local array, instead of the HOF
+  * encoding's m nested `transform`s that allocate an intermediate
+  * array per permutation.
+  *
+  * Semantics are EXACTLY the HOF chain's (`TextOps.minhashSignature0`):
+  * permutation p's hash of shingle-hash h is Spark's `xxhash64(p, h)`
+  * with int32 p and int64 h — seed 42, then each argument folded with
+  * the running hash as seed (`XxHash64Function`) — and an empty input
+  * yields Long.MaxValue per slot. A cross-validation test pins
+  * equality, so band keys built on top are byte-identical either way.
+  */
+case class MinhashSignature(child: Expression, m: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(m)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var p = 0
+      while (p < m) {
+        // xxhash64(p: int, h: long) == hashLong(h, hashInt(p, 42))
+        val v = XXH64.hashLong(h, XXH64.hashInt(p, 42L))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig) // Array[Long] overload — keeps it primitive
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSignature {
+  def of(hs: Column, m: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(MinhashSignature(Bridge.expression(hs), m))
+  }
+}
+
+/** Fused distinct word-n-gram hashing: tokens -> n-gram -> xxhash64 in
+  * one pass, skipping the HOF encoding's intermediate shingle STRINGS
+  * (`concat_ws` per window) — profiling shows string construction, not
+  * hashing, dominates the near-dup pipeline's map side. Hash-compatible
+  * with the HOF chain: each window hashes exactly like
+  * `xxhash64(concat_ws(" ", slice(toks, i, n)))` (one UTF8String concat
+  * per window, hashUnsafeBytes seed 42), and output order is
+  * first-occurrence like `array_distinct` — identical hash sets, pinned
+  * by a cross-validation test.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  @transient private lazy val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      val s = UTF8String.concatWs(sep, window: _*)
+      seen.add(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def of(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
+  }
+}

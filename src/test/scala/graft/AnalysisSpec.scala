@@ -30,6 +30,34 @@ class AnalysisSpec extends AnyFunSuite {
     pairs.foreach(p => assert(p._3 >= 0.8 && p._3 <= 1.0))
   }
 
+  test("fused ShingleHashes == HOF chain (hash sets identical, order too)") {
+    val both = documents.select(
+      graft.analysis.ShingleHashes.of(TextOps.tokens(col("text")), 3).as("fused"),
+      array_distinct(TextOps.shingleHashes(TextOps.shingles(col("text"), 3)))
+        .as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty && both.forall { case (f, h) => f == h })
+    // short docs (< n tokens) yield empty sets in both encodings
+    val short = Seq("one two").toDF("text").select(
+      graft.analysis.ShingleHashes.of(TextOps.tokens(col("text")), 3))
+    assert(short.as[Seq[Long]].head().isEmpty)
+  }
+
+  test("fused MinhashSignature == HOF chain, byte-identical") {
+    val hs = documents.select(
+      array_distinct(TextOps.shingleHashes(TextOps.shingles(col("text"), 3)))
+        .as("hs"))
+    val both = hs.select(
+      graft.analysis.MinhashSignature.of(col("hs"), 16).as("fused"),
+      TextOps.minhashSignature0(col("hs"), 16).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty && both.forall { case (f, h) => f == h })
+    // empty input -> MaxValue sentinel in both encodings
+    val empty = Seq(Seq.empty[Long]).toDF("hs").select(
+      graft.analysis.MinhashSignature.of(col("hs"), 4))
+    assert(empty.as[Seq[Long]].head() == Seq.fill(4)(Long.MaxValue))
+  }
+
   test("n-gram jaccard known values") {
     val df = Seq(
       ("the quick brown fox", "the quick brown fox"), // identical -> 1.0
