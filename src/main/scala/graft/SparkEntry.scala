@@ -340,6 +340,26 @@ object SparkEntry {
     "q26_simhash" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextOps.simhash(col("text")).as("simhash"))),
+    "q45_simhash_dedup" -> ((s, d) => {
+      // banded-simhash near-dup join (xxhash-based -> rows-only); inject
+      // near-dups so the candidate set is non-empty
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      TextOps.simhashDupPairs(docs.unionByName(dups),
+        col("doc_id"), col("text"), bands = 4, maxHamming = 3)
+    }),
+    "q46_cosine_dedup" -> ((s, d) => {
+      // embedding-cosine near-dup: exact duplicates planted at
+      // vec_id+10000; identical vectors share every LSH bucket, so the
+      // candidate join catches them with certainty -> oracle-checkable
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      val dups = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      VectorOps.cosineDupPairs(emb.unionByName(dups), minCos = 0.999)
+        .select(col("id_a"), col("id_b"))
+    }),
     "q27_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
@@ -563,6 +583,13 @@ object SparkEntry {
         "FROM read_parquet('/root/repo/fixtures/expected_analytes.parquet')"),
     "q44_report_date" ->
       ("SELECT doc_id, report_date, light_date " +
-        "FROM read_parquet('/root/repo/fixtures/expected_dates.parquet')")
+        "FROM read_parquet('/root/repo/fixtures/expected_dates.parquet')"),
+
+    // planted exact duplicates: every (i, i+10000) pair and nothing else
+    // is >= 0.999 cosine in this corpus (no organic near-identical pair
+    // among the random vectors), and identical vectors collide in every
+    // LSH bucket, so the expected set is exactly the plant
+    "q46_cosine_dedup" ->
+      "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings"
   )
 }

@@ -99,6 +99,36 @@ object TextOps {
   /** Hamming distance between two simhash values (expression-only). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs: band the 64-bit simhash into `bands`
+    * chunks; docs sharing ANY band chunk are candidates (pigeonhole: a
+    * pair at Hamming distance <= bands-1 MUST agree on some band, so
+    * recall is 1.0 for maxHamming < bands — deterministic, unlike
+    * probabilistic LSH); exact-Hamming rerank once per deduped pair.
+    * Same banded-self-join shuffle shape as the MinHash path.
+    */
+  def simhashDupPairs(docs: DataFrame, id: Column, text: Column,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming vs $bands)")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val base = docs.select(id.as("id"), simhash(text).as("sh"))
+      .withColumn("bk", explode_outer(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))
+            .as("bucket"))): _*)))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket"))
+      .cache() // caller owns the lifecycle (see minhashDupPairs)
+    val a = base.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- n-gram Jaccard ------------------------------------------------------
   /** Distinct word n-gram shingles as an array column. */
   def shingles(text: Column, n: Int): Column = {

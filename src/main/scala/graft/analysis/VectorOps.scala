@@ -154,6 +154,30 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs (the vector twin of
+    * TextOps.minhashDupPairs): LSH-bucketed self-join — a pair only
+    * needs to share a bucket in ONE of `tables` sign tables — then ONE
+    * exact cosine per deduped pair, thresholded. Exact duplicates and
+    * very-near vectors share all sign bits, so recall approaches 1 as
+    * similarity does; identical vectors are caught with certainty.
+    */
+  def cosineDupPairs(corpus: DataFrame, minCos: Double,
+      nPlanes: Int = 16, tables: Int = 4): DataFrame = {
+    val keyed = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("bk", explode_outer(lshKeys(col("embedding"), nPlanes, tables)))
+      .select(col("vec_id"), col("embedding"), col("bk.table"), col("bk.bucket"))
+      .cache() // caller owns the lifecycle (see TextOps.minhashDupPairs)
+    val a = keyed.select(col("table"), col("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = keyed.select(col("table"), col("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Bucket-occupancy audit: rows (table, bucket, n) — the scale
     * invariant is max(n) ≈ N/2^nPlanes per table, NOT N/16.
     */

@@ -17,6 +17,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.tshGatherCandidates)
+    ext.injectFunction(GraftFunctions.shingleHashes)
+    ext.injectFunction(GraftFunctions.minhashSignature)
   }
 }
 
@@ -45,8 +47,48 @@ object GraftFunctions {
       "tsh_gather_candidates"),
     build(_))
 
+  /** Second argument of the sketch functions must be a literal int
+    * (it sizes the output array at plan time).
+    */
+  private def litInt(args: Seq[Expression], fn: String): Int = args(1) match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: second argument must be an integer literal, got $other")
+  }
+
+  private def buildShingles(args: Seq[Expression]): Expression = {
+    if (args.length != 2)
+      throw new IllegalArgumentException(
+        s"shingle_hashes expects (tokens, n), got ${args.length} arguments")
+    graft.analysis.ShingleHashes(args.head, litInt(args, "shingle_hashes"))
+  }
+
+  private def buildMinhash(args: Seq[Expression]): Expression = {
+    if (args.length != 2)
+      throw new IllegalArgumentException(
+        s"minhash_signature expects (hashes, m), got ${args.length} arguments")
+    graft.analysis.MinhashSignature(args.head, litInt(args, "minhash_signature"))
+  }
+
+  val shingleHashes: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[graft.analysis.ShingleHashes].getName,
+      "shingle_hashes"),
+    buildShingles(_))
+
+  val minhashSignature: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[graft.analysis.MinhashSignature].getName,
+      "minhash_signature"),
+    buildMinhash(_))
+
   /** Imperative registration on an already-built session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tsh_gather_candidates", build, "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("tsh_gather_candidates", build, "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes", buildShingles, "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature", buildMinhash, "built-in")
+  }
 }

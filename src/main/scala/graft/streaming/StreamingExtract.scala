@@ -35,9 +35,8 @@ object StreamingExtract {
     Pipeline.extract(docs, mode)
   }
 
-  /** Per-minute extraction metrics over a stream — the one genuinely
-    * stateful streaming piece (windowed agg + watermark): counts ok /
-    * error outcomes per processing-minute window.
+  /** Per-minute extraction metrics over a stream — windowed agg +
+    * watermark: counts ok / error outcomes per processing-minute window.
     */
   def metrics(spark: SparkSession, inDir: String, mode: String): DataFrame = {
     val out = stream(spark, inDir, mode)
@@ -46,5 +45,27 @@ object StreamingExtract {
     out.withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), "1 minute"), col("ok"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Streaming exact dedup with CUSTOM state (`flatMapGroupsWithState`):
+    * first-seen-wins per doc_id ACROSS micro-batches — a re-ingested or
+    * re-crawled document is emitted exactly once for the life of the
+    * checkpoint. This is the continuous form of `TextOps.dedupExact` a
+    * training-data ingest needs; state per key is one boolean, so the
+    * state store stays tiny no matter the corpus (at 10^12 docs the
+    * keyspace itself is the cost — shard by doc_id hash range, which
+    * the groupByKey shuffle already does).
+    */
+  def dedupStream(spark: SparkSession, inDir: String) = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.readStream.schema(docsSchema).parquet(inDir).as[DocRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, DocRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[DocRow], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
   }
 }

@@ -82,6 +82,41 @@ class AnalysisSpec extends AnyFunSuite {
     assert(df._2 > df._1, s"unrelated not farther: $df")
   }
 
+  test("simhash banded dedup finds every injected near-dup (pigeonhole recall)") {
+    val base = documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val dups = base.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"))
+    val pairs = TextOps.simhashDupPairs(base.unionByName(dups),
+      col("doc_id"), col("text"), bands = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // only assert the planted pairs whose actual hamming is within the
+    // verifier bound (appending " zz" flips a text-dependent bit count);
+    // for those, banding guarantees recall 1.0 — that's the pigeonhole
+    val withinBound = base.unionByName(dups)
+      .select(col("doc_id"), TextOps.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 100L).foreach { i =>
+      val h = java.lang.Long.bitCount(withinBound(i) ^ withinBound(i + 100000))
+      if (h <= 3) assert(found.contains((i, i + 100000)), s"missed dup $i (hamming $h)")
+    }
+    pairs.foreach(p => assert(p._3 <= 3))
+    assert(found.nonEmpty)
+  }
+
+  test("cosine near-dup pairs: planted exact duplicates all found, scores exact") {
+    val emb = spark.read.parquet(s"$docsPath/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    val dups = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val pairs = VectorOps.cosineDupPairs(emb.unionByName(dups), minCos = 0.999)
+      .as[(Long, Long, Double)].collect()
+    val n = emb.count()
+    assert(pairs.length == n, s"expected $n planted pairs, got ${pairs.length}")
+    pairs.foreach { case (a, b, cos) =>
+      assert(b == a + 10000 && cos > 0.999, s"unexpected pair ($a,$b,$cos)")
+    }
+  }
+
   test("exact dedup keeps one row per key with deterministic keeper") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     val kept = TextOps.dedupExact(df, col("k"), col("id"))

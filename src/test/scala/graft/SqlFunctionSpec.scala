@@ -38,6 +38,23 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly 1 argument"))
   }
 
+  test("sketch expressions are SQL-callable: shingle_hashes + minhash_signature") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("the quick brown fox jumps").toDF("text")
+      .createOrReplaceTempView("sql_sketch_docs")
+    val row = spark.sql(
+      """SELECT size(shingle_hashes(split(text, ' '), 3)) AS n_sh,
+        |       size(minhash_signature(shingle_hashes(split(text, ' '), 3), 8)) AS m
+        |FROM sql_sketch_docs""".stripMargin)
+      .as[(Int, Int)].head()
+    assert(row == ((3, 8))) // 5 tokens -> 3 trigrams; m = 8 slots
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("unknown pipeline modes are rejected up front (app.py Literal enum)") {
     val docs = graft.corpus.Corpus.generate(spark, 4)
     val e = intercept[IllegalArgumentException] {

@@ -33,4 +33,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.size == 100)
   }
+
+  test("stateful streaming dedup: first-seen-wins per doc_id across micro-batches") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    // batch 1: docs 0-59; batch 2 (arrives later): docs 40-99 — 40-59 are re-ingests
+    Corpus.generate(spark, 60).write.parquet(s"$dir/in/b1")
+    val q = StreamingExtract.dedupStream(spark, s"$dir/in/*")
+      .writeStream.format("memory").queryName("graft_dedup_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      import spark.implicits._
+      Corpus.generate(spark, 100).filter(col("doc_id") >= "doc00000040")
+        .write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("graft_dedup_out")
+      .select("doc_id").as[String].collect().toSeq
+    assert(ids.size == 100, s"expected 100 unique, got ${ids.size}")
+    assert(ids.distinct.size == 100)
+  }
 }
