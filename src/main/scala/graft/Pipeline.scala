@@ -175,14 +175,27 @@ object Pipeline {
     * recomputation the two downstream consumers (accepted / pending)
     * would otherwise trigger.
     */
-  def resultsAutoIterative(docs: Dataset[DocRow], persist: Boolean = true): DataFrame = {
+  /** `checkpointDir`: when set, each stage output is written to (and
+    * read back from) a parquet table instead of `persist()` — the
+    * 100 TB encoding, where a stage output no longer fits executor
+    * storage and the lineage cut must survive executor loss; the
+    * MEMORY_AND_DISK persist is the single-job default. Same plan
+    * downstream either way (a test pins span equality).
+    */
+  def resultsAutoIterative(docs: Dataset[DocRow], persist: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val lvl = StorageLevel.MEMORY_AND_DISK
 
     def stage(in: Dataset[DocRow], level: String): DataFrame = {
       val s = withLevelResult(ocrLevel(in, level).toDF(), "raw", "r")
         .select(col("doc_id"), col("first_media_ref"), col("spans"), col("r"))
-      if (persist) s.persist(lvl) else s
+      checkpointDir match {
+        case Some(dir) =>
+          s.write.mode("overwrite").parquet(s"$dir/stage_$level")
+          docs.sparkSession.read.parquet(s"$dir/stage_$level")
+        case None => if (persist) s.persist(lvl) else s
+      }
     }
     val s1 = stage(docs, "light")
     val pend1 = s1.filter(!TshExtract.acceptWithRange(col("r")))

@@ -350,6 +350,16 @@ object SparkEntry {
       TextOps.simhashDupPairs(docs.unionByName(dups),
         col("doc_id"), col("text"), bands = 4, maxHamming = 3)
     }),
+    "q47_ann_ivf" -> ((s, d) => {
+      // centroid-partitioned ANN (IVF) — candidates depend on the
+      // sampled centroids, engine-internal -> rows-only; recall is
+      // spec-checked vs brute force
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      VectorOps.ivfTopK(emb.filter(col("vec_id") < 5), emb, 3,
+          nCells = 32, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     "q46_cosine_dedup" -> ((s, d) => {
       // embedding-cosine near-dup: exact duplicates planted at
       // vec_id+10000; identical vectors share every LSH bucket, so the

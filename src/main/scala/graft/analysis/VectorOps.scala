@@ -178,6 +178,54 @@ object VectorOps {
       .filter(col("cos") >= minCos)
   }
 
+  /** Query-side cell probes: indices of the `nProbe` nearest (by dot
+    * against unit-normalized centroids == by cosine) cells, via one
+    * struct sort — same shape as the LSH probe machinery.
+    */
+  private def cellKeys(vec: Column, cents: Column, nProbe: Int): Column =
+    slice(transform(array_sort(
+      zip_with(cents, sequence(lit(0), size(cents) - 1),
+        (c, i) => struct((-dot(vec, c)).as("d"), i.as("cell")))),
+      s => s("cell")), 1, nProbe)
+
+  /** IVF (inverted-file) ANN — the centroid-partitioned alternative to
+    * sign-LSH, per the round brief ("IVF or LSH-bucketed"). Corpus
+    * vectors are assigned to their single nearest of `nCells` centroids
+    * (map-side: centroids ride along as a broadcast-sized literal);
+    * queries probe their `nProbe` nearest cells; candidates meet in a
+    * cell-keyed join, then ONE exact cosine per deduped pair and a
+    * per-query top-k window. Centroids here are a deterministic corpus
+    * sample (first `nCells` by vec_id, unit-normalized on the driver) —
+    * a real deployment swaps in k-means centroids; the plan shape
+    * (broadcast centroids, map-side assign, keyed join) is identical.
+    * Scale: cells hold ~N/nCells vectors and a query touches
+    * nProbe/nCells of the corpus — tune nCells ~ sqrt(N) like FAISS IVF.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 64, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nCells).collect()
+      .map(_.getSeq[Double](1))
+    val unit = cents.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }.toSeq
+    val centCol = typedlit(unit)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+      .withColumn("cell", explode_outer(cellKeys(col("c_vec"), centCol, 1)))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .withColumn("cell", explode_outer(cellKeys(col("q_vec"), centCol, nProbe)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Bucket-occupancy audit: rows (table, bucket, n) — the scale
     * invariant is max(n) ≈ N/2^nPlanes per table, NOT N/16.
     */

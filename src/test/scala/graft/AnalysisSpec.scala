@@ -171,6 +171,23 @@ class AnalysisSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"default-parameter LSH recall too low: $recall")
   }
 
+  test("IVF ANN: recall@3 >= 0.6 on clustered embeddings; scores exact") {
+    val emb = clustered(nClusters = 20, perCluster = 40, dim = 64, noise = 0.6).cache()
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = VectorOps.bruteForceTopK(q, emb, 3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val ivf = VectorOps.ivfTopK(q, emb, 3, nCells = 32, nProbe = 4)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val bfCos = bf.map(r => (r._1, r._2) -> r._3).toMap
+    val overlap = ivf.filter(r => bfCos.contains((r._1, r._2)))
+    overlap.foreach(r => assert(math.abs(bfCos((r._1, r._2)) - r._3) < 1e-12))
+    val recall = overlap.length.toDouble / bf.length
+    info(f"IVF recall@3 (32 cells, 4 probes, clustered): $recall%.2f")
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
   test("ANN buckets stay fine-grained at scale: no N/16 bucket") {
     val n = 1200
     val rnd = new scala.util.Random(11)

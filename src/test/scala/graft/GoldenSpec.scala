@@ -86,6 +86,15 @@ class GoldenSpec extends AnyFunSuite {
   test("mode=auto (iterative cascade) matches golden fixtures")(
     check("auto", iterative = true))
 
+  test("iterative cascade with table checkpoints == persisted encoding") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ckpt = Pipeline.resultsAutoIterative(docs, checkpointDir = Some(dir))
+    val mem = Pipeline.resultsAutoIterative(docs)
+    assert(ckpt.except(mem).count() == 0 && mem.except(ckpt).count() == 0)
+    // the stage tables really were written (the lineage cut is a table)
+    assert(new java.io.File(s"$dir/stage_light").exists())
+  }
+
   test("quirk Q3: unaccented '3eme generation' yields value 3.0") {
     // family 3 docs: i % 16 == 3
     val got = Pipeline.extractRows(docs.filter($"doc_id" === "doc00000019"), "optimum")
