@@ -37,7 +37,15 @@ trait OcrEngine extends Serializable {
   */
 object SimulatedOcr extends OcrEngine {
   override def ocrPage(level: String, mediaRef: String): (String, Seq[OcrBox]) = {
-    val (i, k, carrier) = Corpus.parseMediaRef(mediaRef)
+    // never-throws contract: a ref this engine can't resolve behaves
+    // like the reference's image-load failure (`ocr_engine.py:119-124`
+    // returns None -> empty result), not a task failure — one malformed
+    // row must not kill a 10^12-doc job
+    val parsed =
+      try Some(Corpus.parseMediaRef(mediaRef))
+      catch { case _: RuntimeException => None }
+    if (parsed.isEmpty) return ("", Seq.empty)
+    val (i, k, carrier) = parsed.get
     val full = Corpus.pageLines(i, k, level, carrier)
     val lines = if (level == "optimum") full else Corpus.crop(full)
     val text = lines.mkString("\n")

@@ -39,6 +39,28 @@ class OcrBoxSpec extends AnyFunSuite {
       "box columns leaked into the parse plan — ObjectSerializerPruning regressed")
   }
 
+  test("engine never throws: malformed media refs degrade like a load failure") {
+    // reference ocr_engine.py:119-124: unloadable image -> None, row survives
+    for (bad <- Seq("", "garbage", "media://nope", "media://docXX/9",
+        "media://doc1/notanint#tsh")) {
+      val (t, b) = SimulatedOcr.ocrPage("premium", bad)
+      assert(t == "" && b.isEmpty, s"ref '$bad' should degrade, not throw")
+    }
+    // a doc containing only a malformed media span -> OCR_FAILED path.
+    // NB: extractRows (explode_outer) — a bare explode over the computed
+    // spans column trips InferFiltersFromGenerate and re-inlines the
+    // whole assembly tree (the trap Pipeline.extractRows documents;
+    // reproduced here as an OOM when first written with plain explode)
+    val doc = graft.schema.DocRow("docbad",
+      Seq(graft.schema.DocSpan("media", "", "media://broken", 0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-badref").toString
+    spark.createDataset(Seq(doc)).write.mode("overwrite").parquet(dir)
+    val ds = spark.read.parquet(dir).as[graft.schema.DocRow]
+    val spans = Pipeline.extractRows(ds, "auto")
+      .select("kind", "text").as[(String, String)].collect().toSeq
+    assert(spans.contains(("error", "OCR_FAILED")))
+  }
+
   test("both-empty failure rule is driven by boxes, not a stale count") {
     // blank text + nonempty boxes => premium/optimum level does NOT fail
     val box = OcrBox("x", 0, 0, 8, 14, 90.0)
