@@ -108,3 +108,105 @@ object ShingleHashes {
     Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
   }
 }
+
+/** Fused 64-bit SimHash from a token-hash array: one pass maintaining
+  * 64 vote counters. The HOF encoding pays a separate `aggregate` per
+  * bit — and because each references the token-hash subtree, Catalyst
+  * inlines the WHOLE tokenize+hash chain 64 times per row (verified in
+  * the optimized plan; it made the simhash-banded join ~20x slower than
+  * the hashing itself). Semantics identical to `TextOps.simhash`'s HOF
+  * form: vote = +1/-1 per bit per hash, bit set iff votes > 0; empty
+  * input -> 0L. Cross-validated byte-identical by test.
+  */
+case class Simhash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Simhash64 {
+  def of(hs: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(Simhash64(Bridge.expression(hs)))
+  }
+}
+
+/** Fused sign-LSH projection matrix: for `tables` tables of `nPlanes`
+  * deterministic ±1 hyperplanes, all `tables*nPlanes` projections of
+  * `vec` in one pass (array<array<double>>, [table][plane]). Replaces
+  * the HOF form's tables*nPlanes separate `aggregate(zip_with(...))`
+  * passes (each re-walking the vector through interpreted lambdas);
+  * downstream bucket/probe logic is unchanged and operates on this
+  * small matrix. Bit-compatible with VectorOps.projections: plane
+  * component = +1 iff pmod(xxhash64(int planeId, int dim), 2) == 0 —
+  * replicated here via XXH64.hashInt chaining (seed 42) + floorMod.
+  * Cross-validated byte-identical by test.
+  */
+case class SignProjections(child: Expression, nPlanes: Int, tables: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "sign_projections"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      val projs = new Array[Double](nPlanes)
+      var p = 0
+      while (p < nPlanes) {
+        val planeSeed = XXH64.hashInt(t * nPlanes + p, 42L)
+        var acc = 0.0d
+        var d = 0
+        while (d < dim) {
+          val h = XXH64.hashInt(d, planeSeed)
+          val sign = if (java.lang.Math.floorMod(h, 2L) == 0L) 1.0d else -1.0d
+          acc += vec.getDouble(d) * sign
+          d += 1
+        }
+        projs(p) = acc
+        p += 1
+      }
+      out(t) = new GenericArrayData(projs)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignProjections {
+  def of(vec: Column, nPlanes: Int, tables: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SignProjections(Bridge.expression(vec), nPlanes, tables))
+  }
+}

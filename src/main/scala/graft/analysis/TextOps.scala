@@ -84,9 +84,19 @@ object TextOps {
       (acc, t) => xxhash64(acc, t))
 
   /** SimHash over token hashes: per-bit majority vote of xxhash64(token).
-    * Expression-only: 64 aggregate passes fused into one projection.
+    * Default: fused one-pass Simhash64 expression — the HOF form's 64
+    * per-bit `aggregate`s each re-inline the tokenize+hash subtree (64
+    * regex passes per row once optimized). HOF form kept selectable and
+    * cross-validated byte-identical.
     */
   def simhash(text: Column): Column = {
+    if (useFusedMinhash)
+      Simhash64.of(transform(tokens(text), t => xxhash64(t))).as("simhash")
+    else simhashHof(text)
+  }
+
+  /** The pure-HOF encoding (cross-validation twin of Simhash64). */
+  def simhashHof(text: Column): Column = {
     val hs = transform(tokens(text), t => xxhash64(t))
     val bits: Seq[Column] = (0 until 64).map { b =>
       val votes = aggregate(hs, lit(0),

@@ -81,10 +81,22 @@ object VectorOps {
   def lshBucket(vec: Column, nPlanes: Int = 16, table: Int = 0): Column =
     bucketOf(projections(vec, nPlanes, table))
 
+  /** Projection strategy: fused single-pass SignProjections expression
+    * (default) vs the HOF form whose tables*nPlanes separate
+    * `aggregate(zip_with(...))` passes re-walk the vector through
+    * interpreted lambdas; cross-validated byte-identical by test.
+    */
+  @volatile var useFusedLsh: Boolean = true
+
+  /** All projections as [table][plane] (array<array<double>>). */
+  private def projMatrix(vec: Column, nPlanes: Int, tables: Int): Column =
+    if (useFusedLsh) SignProjections.of(vec, nPlanes, tables)
+    else array((0 until tables).map(t => projections(vec, nPlanes, t)): _*)
+
   /** Corpus-side keys: one (table, bucket) per table. */
   private def lshKeys(vec: Column, nPlanes: Int, tables: Int): Column =
-    array((0 until tables).map(t =>
-      struct(lit(t).as("table"), lshBucket(vec, nPlanes, t).as("bucket"))): _*)
+    zip_with(projMatrix(vec, nPlanes, tables), sequence(lit(0), lit(tables - 1)),
+      (projs, t) => struct(t.as("table"), bucketOf(projs).as("bucket")))
 
   /** Query-side multi-probe keys: per table, the home bucket plus every
     * bucket reachable by flipping any subset of the `probeBits`
@@ -96,8 +108,7 @@ object VectorOps {
   private def probeKeys(vec: Column, nPlanes: Int, tables: Int,
       probeBits: Int): Column = {
     val nProbes = 1 << probeBits
-    val perTable = array((0 until tables).map(t =>
-      projections(vec, nPlanes, t)): _*)
+    val perTable = projMatrix(vec, nPlanes, tables)
     flatten(zip_with(perTable, sequence(lit(0), lit(tables - 1)), (projs, t) => {
       val home = bucketOf(projs)
       // plane indices ordered by |projection| ascending (struct sort:

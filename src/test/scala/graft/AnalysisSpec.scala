@@ -43,6 +43,17 @@ class AnalysisSpec extends AnyFunSuite {
     assert(short.as[Seq[Long]].head().isEmpty)
   }
 
+  test("fused Simhash64 == HOF chain, byte-identical") {
+    val both = documents.select(
+      TextOps.simhash(col("text")).as("fused"), // default = fused
+      TextOps.simhashHof(col("text")).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty && both.forall { case (f, h) => f == h })
+    val empty = Seq("").toDF("text")
+      .select(TextOps.simhash(col("text"))).as[Long].head()
+    assert(empty == 0L)
+  }
+
   test("fused MinhashSignature == HOF chain, byte-identical") {
     val hs = documents.select(
       array_distinct(TextOps.shingleHashes(TextOps.shingles(col("text"), 3)))
@@ -186,6 +197,20 @@ class AnalysisSpec extends AnyFunSuite {
     val recall = overlap.length.toDouble / bf.length
     info(f"IVF recall@3 (32 cells, 4 probes, clustered): $recall%.2f")
     assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
+  test("fused SignProjections == HOF path: identical ANN results") {
+    val emb = spark.read.parquet(s"$docsPath/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      .cache()
+    val q = emb.filter(col("vec_id") < 5)
+    def run() = VectorOps.annTopK(q, emb, 3, nPlanes = 8, tables = 4, probeBits = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val fused = run()
+    VectorOps.useFusedLsh = false
+    val hof = try run() finally { VectorOps.useFusedLsh = true }
+    // buckets AND probe margins must agree, so results are identical
+    assert(fused.nonEmpty && fused.toSeq == hof.toSeq)
   }
 
   test("ANN buckets stay fine-grained at scale: no N/16 bucket") {
