@@ -210,3 +210,46 @@ object SignProjections {
     Bridge.column(SignProjections(Bridge.expression(vec), nPlanes, tables))
   }
 }
+
+/** Fused batch dot products: dot(vec, m) for every row m of `mats`
+  * (array<array<double>>) in one pass — the IVF centroid-assignment
+  * hot loop, replacing one interpreted `aggregate(zip_with(...))` per
+  * centroid. Exactly `transform(mats, m -> dot(vec, m))` for
+  * equal-length vectors (the only case the callers produce).
+  */
+case class DotProducts(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "dot_products"
+
+  override def nullSafeEval(vecAny: Any, matsAny: Any): Any = {
+    val vec = vecAny.asInstanceOf[ArrayData]
+    val mats = matsAny.asInstanceOf[ArrayData]
+    val n = mats.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val m = mats.getArray(i)
+      val dim = math.min(vec.numElements(), m.numElements())
+      var acc = 0.0d
+      var d = 0
+      while (d < dim) { acc += vec.getDouble(d) * m.getDouble(d); d += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProducts {
+  def of(vec: Column, mats: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(DotProducts(Bridge.expression(vec), Bridge.expression(mats)))
+  }
+}

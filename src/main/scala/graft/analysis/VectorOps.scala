@@ -191,13 +191,19 @@ object VectorOps {
 
   /** Query-side cell probes: indices of the `nProbe` nearest (by dot
     * against unit-normalized centroids == by cosine) cells, via one
-    * struct sort — same shape as the LSH probe machinery.
+    * struct sort — same shape as the LSH probe machinery. The
+    * per-centroid dots use the fused DotProducts expression (or the HOF
+    * form under the useFusedLsh toggle; byte-identical, tested).
     */
-  private def cellKeys(vec: Column, cents: Column, nProbe: Int): Column =
+  private def cellKeys(vec: Column, cents: Column, nProbe: Int): Column = {
+    val dots =
+      if (useFusedLsh) DotProducts.of(vec, cents)
+      else transform(cents, c => dot(vec, c))
     slice(transform(array_sort(
-      zip_with(cents, sequence(lit(0), size(cents) - 1),
-        (c, i) => struct((-dot(vec, c)).as("d"), i.as("cell")))),
+      zip_with(dots, sequence(lit(0), size(dots) - 1),
+        (d, i) => struct((-d).as("d"), i.as("cell")))),
       s => s("cell")), 1, nProbe)
+  }
 
   /** IVF (inverted-file) ANN — the centroid-partitioned alternative to
     * sign-LSH, per the round brief ("IVF or LSH-bucketed"). Corpus

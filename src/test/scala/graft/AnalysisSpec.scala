@@ -199,6 +199,17 @@ class AnalysisSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("fused DotProducts == HOF path: identical IVF results") {
+    val emb = clustered(nClusters = 10, perCluster = 30, dim = 64, noise = 0.6).cache()
+    val q = emb.filter(col("vec_id") < 5)
+    def run() = VectorOps.ivfTopK(q, emb, 3, nCells = 16, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val fused = run()
+    VectorOps.useFusedLsh = false
+    val hof = try run() finally { VectorOps.useFusedLsh = true }
+    assert(fused.nonEmpty && fused.toSeq == hof.toSeq)
+  }
+
   test("fused SignProjections == HOF path: identical ANN results") {
     val emb = spark.read.parquet(s"$docsPath/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
