@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Embedding tables commonly store array<float>; the fused
+    * expressions (SignProjections / DotProducts) and driver-side
+    * centroid math read doubles, so every entry point normalizes the
+    * vector column first (no-op for already-double columns).
+    */
+  private def vecAsDouble(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
@@ -35,8 +43,8 @@ object VectorOps {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "vec_id", qVec: String = "embedding",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("q_vec"))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("c_vec"))
+    val q = vecAsDouble(queries, qVec).select(col(qId).as("query_id"), col(qVec).as("q_vec"))
+    val c = vecAsDouble(corpus, cVec).select(col(cId).as("neighbor_id"), col(cVec).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
@@ -145,10 +153,12 @@ object VectorOps {
       s"probeBits must be in [0, nPlanes], got $probeBits vs $nPlanes")
     // explode_outer everywhere: never-empty arrays + avoids the
     // inferred-filter re-inline trap (see Pipeline.extractRows)
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+    val c = vecAsDouble(corpus, "embedding")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
       .withColumn("bk", explode_outer(lshKeys(col("c_vec"), nPlanes, tables)))
       .select(col("neighbor_id"), col("c_vec"), col("bk.table"), col("bk.bucket"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val q = vecAsDouble(queries, "embedding")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       .withColumn("bk", explode_outer(probeKeys(col("q_vec"), nPlanes, tables, probeBits)))
       .select(col("query_id"), col("q_vec"), col("bk.table"), col("bk.bucket"))
     val w = Window.partitionBy(col("query_id"))
@@ -174,7 +184,7 @@ object VectorOps {
     */
   def cosineDupPairs(corpus: DataFrame, minCos: Double,
       nPlanes: Int = 16, tables: Int = 4): DataFrame = {
-    val keyed = corpus.select(col("vec_id"), col("embedding"))
+    val keyed = vecAsDouble(corpus, "embedding").select(col("vec_id"), col("embedding"))
       .withColumn("bk", explode_outer(lshKeys(col("embedding"), nPlanes, tables)))
       .select(col("vec_id"), col("embedding"), col("bk.table"), col("bk.bucket"))
       .cache() // caller owns the lifecycle (see TextOps.minhashDupPairs)
@@ -205,32 +215,75 @@ object VectorOps {
       s => s("cell")), 1, nProbe)
   }
 
+  private def unitNorm(cents: Seq[Seq[Double]]): Seq[Seq[Double]] =
+    cents.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+
+  /** Deterministic centroid seed: first `k` corpus vectors by vec_id. */
+  private def seedCentroids(corpus: DataFrame, k: Int): Seq[Seq[Double]] =
+    vecAsDouble(corpus, "embedding").select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
+
+  /** Spherical k-means (Lloyd iterations under cosine): assign each
+    * vector to its max-cosine centroid (map-side, fused dots against
+    * the unit-normalized centroid literal), recompute per-cell means
+    * with one (cell, dim) aggregation, repeat. The per-iteration
+    * shuffle is k*dim rows — trivial at any corpus size; assignment is
+    * the map-side pass IVF needs anyway. Deterministic (seeded from
+    * the first k vectors); a cell that loses all members keeps its old
+    * centroid.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int,
+      iters: Int = 2): Seq[Seq[Double]] = {
+    var cents = seedCentroids(corpus, k)
+    val dcorpus = vecAsDouble(corpus, "embedding")
+    for (_ <- 1 to iters) {
+      val assigned = dcorpus.select(col("embedding"),
+        explode_outer(cellKeys(col("embedding"), typedlit(unitNorm(cents)), 1))
+          .as("cell"))
+      val stats = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        stats.get(c) match {
+          case Some(rows) =>
+            val byDim = rows.map(r => r.getInt(1) -> (r.getDouble(2) / r.getLong(3))).toMap
+            old.indices.map(d => byDim.getOrElse(d, 0.0))
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN — the centroid-partitioned alternative to
     * sign-LSH, per the round brief ("IVF or LSH-bucketed"). Corpus
     * vectors are assigned to their single nearest of `nCells` centroids
     * (map-side: centroids ride along as a broadcast-sized literal);
     * queries probe their `nProbe` nearest cells; candidates meet in a
     * cell-keyed join, then ONE exact cosine per deduped pair and a
-    * per-query top-k window. Centroids here are a deterministic corpus
-    * sample (first `nCells` by vec_id, unit-normalized on the driver) —
-    * a real deployment swaps in k-means centroids; the plan shape
-    * (broadcast centroids, map-side assign, keyed join) is identical.
-    * Scale: cells hold ~N/nCells vectors and a query touches
-    * nProbe/nCells of the corpus — tune nCells ~ sqrt(N) like FAISS IVF.
+    * per-query top-k window. Pass `centroids =
+    * Some(kmeansCentroids(...))` for trained cells, or leave None for
+    * the deterministic corpus-sample seed. Scale: cells hold ~N/nCells
+    * vectors and a query touches nProbe/nCells of the corpus — tune
+    * nCells ~ sqrt(N) like FAISS IVF.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 64, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(nCells).collect()
-      .map(_.getSeq[Double](1))
-    val unit = cents.map { v =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n > 0) v.map(_ / n) else v
-    }.toSeq
-    val centCol = typedlit(unit)
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+      nCells: Int = 64, nProbe: Int = 4,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(seedCentroids(corpus, nCells))
+    val centCol = typedlit(unitNorm(cents))
+    val c = vecAsDouble(corpus, "embedding")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
       .withColumn("cell", explode_outer(cellKeys(col("c_vec"), centCol, 1)))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val q = vecAsDouble(queries, "embedding")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       .withColumn("cell", explode_outer(cellKeys(col("q_vec"), centCol, nProbe)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -248,7 +301,7 @@ object VectorOps {
     */
   def bucketOccupancy(corpus: DataFrame, nPlanes: Int = 16,
       tables: Int = 4): DataFrame =
-    corpus.select(col("vec_id"),
+    vecAsDouble(corpus, "embedding").select(col("vec_id"),
         explode_outer(lshKeys(col("embedding"), nPlanes, tables)).as("bk"))
       .groupBy(col("bk.table"), col("bk.bucket"))
       .agg(count(lit(1)).as("n"))

@@ -199,6 +199,32 @@ class AnalysisSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("spherical k-means centroids recover the planted clusters; IVF recall 1.0") {
+    val emb = clustered(nClusters = 12, perCluster = 40, dim = 64, noise = 0.6).cache()
+    val cents = VectorOps.kmeansCentroids(emb, k = 12, iters = 2)
+    assert(cents.length == 12 && cents.forall(_.length == 64))
+    // each learned centroid should be very close (cosine) to ONE of the
+    // true +-1 cluster centers the test data was planted around
+    val rnd = new scala.util.Random(7)
+    val truth = Array.fill(12, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val matched = cents.count(c => truth.exists(t => cos(c, t.toSeq) > 0.9))
+    assert(matched >= 10, s"only $matched/12 learned centroids match a true center")
+    // trained IVF: recall vs brute force
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = VectorOps.bruteForceTopK(q, emb, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorOps.ivfTopK(q, emb, 3, nCells = 12, nProbe = 2,
+        centroids = Some(cents))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    info(f"trained-IVF recall@3: $recall%.2f (12 learned cells, 2 probes)")
+    assert(recall >= 0.9, s"trained IVF recall too low: $recall")
+  }
+
   test("fused DotProducts == HOF path: identical IVF results") {
     val emb = clustered(nClusters = 10, perCluster = 30, dim = 64, noise = 0.6).cache()
     val q = emb.filter(col("vec_id") < 5)
@@ -222,6 +248,24 @@ class AnalysisSpec extends AnyFunSuite {
     val hof = try run() finally { VectorOps.useFusedLsh = true }
     // buckets AND probe margins must agree, so results are identical
     assert(fused.nonEmpty && fused.toSeq == hof.toSeq)
+  }
+
+  test("float-typed embedding tables work everywhere (the native parquet type)") {
+    // embeddings.parquet stores array<float>; every entry point must
+    // tolerate it (the fused expressions read doubles internally)
+    val raw = spark.read.parquet(s"$docsPath/embeddings.parquet") // array<float>
+      .select(col("vec_id"), col("embedding"))
+    val q = raw.filter(col("vec_id") < 3)
+    assert(VectorOps.bruteForceTopK(q, raw, 2).count() == 6)
+    assert(VectorOps.annTopK(q, raw, 2, nPlanes = 8, tables = 4, probeBits = 2)
+      .count() >= 0)
+    val cents = VectorOps.kmeansCentroids(raw, 8, iters = 1)
+    assert(cents.length == 8 && cents.head.length == 64)
+    assert(VectorOps.ivfTopK(q, raw, 2, nCells = 8, nProbe = 2,
+      centroids = Some(cents)).count() >= 0)
+    assert(VectorOps.cosineDupPairs(
+      raw.unionByName(raw.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))),
+      minCos = 0.999).count() == raw.count())
   }
 
   test("ANN buckets stay fine-grained at scale: no N/16 bucket") {
