@@ -52,16 +52,17 @@ object Pipeline {
   /** Candidate-gather strategy: the fused native Expression
     * (TshGatherCandidates, one compiled pass per doc) is the default;
     * the pure-HOF expression chain (TshExtract.*Candidates) remains
-    * selectable — the golden suite validates both and a property test
+    * selectable per-call via `fused` (a parameter, not a JVM global —
+    * concurrently-running suites must not observe each other's plan
+    * encoding) — the golden suite validates both and a property test
     * asserts their equality.
     */
-  @volatile var useFusedGather: Boolean = true
-
   def withLevelResult(df: DataFrame, rawCol: String, out: String,
       reuse: Option[(String, String)] = None,
-      skipWhen: Option[Column] = None): DataFrame = {
+      skipWhen: Option[Column] = None,
+      fused: Boolean = true): DataFrame = {
     def freshCands(d: DataFrame): (DataFrame, Column) =
-      if (useFusedGather)
+      if (fused)
         (d, graft.extract.TshGatherCandidates.gather(col(rawCol)))
       else {
         val d1 = d.withColumn(s"${out}_lab",
@@ -131,14 +132,17 @@ object Pipeline {
     * accepted (the skipped column degrades to a cheap placeholder the
     * cascade never reads).
     */
-  private def autoStaged(docs: Dataset[DocRow]): DataFrame = {
-    val d1 = withLevelResult(ocrAll(docs).toDF(), "light_raw", "r_l")
+  private def autoStaged(docs: Dataset[DocRow],
+      fused: Boolean = true): DataFrame = {
+    val d1 = withLevelResult(ocrAll(docs).toDF(), "light_raw", "r_l",
+      fused = fused)
     val accL = TshExtract.acceptWithRange(col("r_l"))
     val d2 = withLevelResult(d1, "premium_raw", "r_p",
-      reuse = Some(("light_raw", "r_l")), skipWhen = Some(accL))
+      reuse = Some(("light_raw", "r_l")), skipWhen = Some(accL), fused = fused)
     val accP = TshExtract.acceptWithRange(col("r_p"))
     withLevelResult(d2, "optimum_raw", "r_o",
-      reuse = Some(("premium_raw", "r_p")), skipWhen = Some(accL || accP))
+      reuse = Some(("premium_raw", "r_p")), skipWhen = Some(accL || accP),
+      fused = fused)
   }
 
   /** Audit metric: which cascade level resolves each doc (`app.py`
@@ -153,16 +157,17 @@ object Pipeline {
           .otherwise("failed"))
       .groupBy("resolved_level").agg(count(lit(1)).as("n_docs"))
 
-  def results(docs: Dataset[DocRow], mode: String): DataFrame = {
+  def results(docs: Dataset[DocRow], mode: String,
+      fused: Boolean = true): DataFrame = {
     requireMode(mode)
     mode match {
       case "auto" =>
-        autoStaged(docs)
+        autoStaged(docs, fused)
           .withColumn("r",
             TshExtract.cascadeAuto(col("r_l"), col("r_p"), col("r_o")))
           .select("doc_id", "first_media_ref", "r")
       case level =>
-        withLevelResult(ocrLevel(docs, level).toDF(), "raw", "r")
+        withLevelResult(ocrLevel(docs, level).toDF(), "raw", "r", fused = fused)
           .select("doc_id", "first_media_ref", "r")
     }
   }
@@ -224,10 +229,10 @@ object Pipeline {
 
   /** Final output: (doc_id, spans array<struct<kind,text,media_ref,order>>). */
   def extract(docs: Dataset[DocRow], mode: String,
-      iterative: Boolean = false): DataFrame = {
+      iterative: Boolean = false, fused: Boolean = true): DataFrame = {
     val res =
       if (mode == "auto" && iterative) resultsAutoIterative(docs)
-      else results(docs, mode)
+      else results(docs, mode, fused)
     res.select(col("doc_id"),
       SpanAssembly.assemble(col("r"), col("first_media_ref")).as("spans"))
   }
@@ -240,8 +245,8 @@ object Pipeline {
     * assembly expression tree — a ~500k-node filter evaluated per row.
     */
   def extractRows(docs: Dataset[DocRow], mode: String,
-      iterative: Boolean = false): DataFrame =
-    extract(docs, mode, iterative)
+      iterative: Boolean = false, fused: Boolean = true): DataFrame =
+    extract(docs, mode, iterative, fused)
       .select(col("doc_id"), explode_outer(col("spans")).as("s"))
       .select(col("doc_id"), col("s.kind"), col("s.text"),
         col("s.media_ref"), col("s.order"))
@@ -251,14 +256,16 @@ object Pipeline {
     * exploded to rows, hashed across the cluster, OCR'd per page, and
     * re-assembled with one bounded groupBy — so one monster doc cannot
     * pin a task. Normal docs take the map-only path; results are
-    * unioned. All three levels are computed for heavy docs (columnar
-    * cascade) regardless of mode.
+    * unioned. Only the requested mode's levels are OCR'd: an explicit
+    * `light` run pays ONE ocrPage call per heavy-doc page, not three
+    * (auto computes all three for its columnar cascade).
     */
   def extractSkewAware(docs: Dataset[DocRow], mode: String,
       threshold: Int = 16): DataFrame = {
     requireMode(mode)
     import docs.sparkSession.implicits._
     val spark = docs.sparkSession
+    val neededLevels = if (mode == "auto") Levels else Seq(mode)
     val withCount = docs
       .withColumn("n_media", size(filter(col("spans"), s => s("kind") === lit("media"))))
     val normal = withCount.filter(col("n_media") <= threshold)
@@ -277,9 +284,9 @@ object Pipeline {
       it.map { case (docId, off, kind, ref, text) =>
         val (texts, boxes) =
           if (kind == "media") {
-            val rs = Levels.map(lv => eng.ocrPage(lv, ref))
+            val rs = neededLevels.map(lv => eng.ocrPage(lv, ref))
             (rs.map(_._1), rs.map(_._2.length))
-          } else (Levels.map(_ => text), Levels.map(_ => 0))
+          } else (neededLevels.map(_ => text), neededLevels.map(_ => 0))
         (docId, off, kind, ref, texts, boxes)
       }
     }.toDF("doc_id", "offset", "kind", "media_ref", "texts", "n_boxes")
@@ -296,13 +303,17 @@ object Pipeline {
         // requirement) — shuffling a 200-page doc's full box structs
         // would defeat the bounded-shuffle point; box content for QC is
         // available via ocrAll on the doc in question
-        val raws = Levels.zipWithIndex.map { case (lv, li) =>
+        val raws = neededLevels.zipWithIndex.map { case (lv, li) =>
           val raw = parts.map(_._4(li)).mkString("\n")
           val nb = parts.map(_._5(li)).sum
           if (OcrRun.isFailed(lv, raw, nb)) null else raw
         }
-        (docId, firstRef, raws(0), raws(1), raws(2))
-      }.toDF("doc_id", "first_media_ref", "light_raw", "premium_raw", "optimum_raw")
+        (docId, firstRef, raws)
+      }.toDF("doc_id", "first_media_ref", "raws")
+      .select(col("doc_id") +: col("first_media_ref") +:
+        neededLevels.zipWithIndex.map { case (lv, li) =>
+          col("raws")(li).as(s"${lv}_raw")
+        }: _*)
 
     val heavyRes = mode match {
       case "auto" =>

@@ -27,17 +27,25 @@ case class MinhashSignature(child: Expression, m: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
+  // per-permutation seeds hoisted out of the row loop
+  @transient private lazy val permSeed: Array[Long] =
+    Array.tabulate(m)(p => XXH64.hashInt(p, 42L))
+
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
     val sig = Array.fill(m)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
+      // SQL callers can pass array(1L, NULL): the HOF twin's
+      // xxhash64(p, h) SKIPS a null argument, yielding hashInt(p, 42)
+      // for that slot — replicate, don't read undefined memory
+      val isNull = hs.isNullAt(i)
+      val h = if (isNull) 0L else hs.getLong(i)
       var p = 0
       while (p < m) {
         // xxhash64(p: int, h: long) == hashLong(h, hashInt(p, 42))
-        val v = XXH64.hashLong(h, XXH64.hashInt(p, 42L))
+        val v = if (isNull) permSeed(p) else XXH64.hashLong(h, permSeed(p))
         if (v < sig(p)) sig(p) = v
         p += 1
       }
@@ -85,7 +93,12 @@ case class ShingleHashes(child: Expression, n: Int)
     var i = 0
     while (i <= len - n) {
       var j = 0
-      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      // null elements (possible from SQL callers) are skipped by
+      // concatWs — exactly the HOF twin's concat_ws semantics
+      while (j < n) {
+        window(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
       val s = UTF8String.concatWs(sep, window: _*)
       seen.add(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
         s.numBytes, 42L))
@@ -130,7 +143,9 @@ case class Simhash64(child: Expression)
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
+      // a null element votes -1 on every bit, like the HOF twin (its
+      // per-bit `when` over a null hash falls through to otherwise(-1))
+      val h = if (hs.isNullAt(i)) 0L else hs.getLong(i)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -211,45 +226,52 @@ object SignProjections {
   }
 }
 
-/** Fused batch dot products: dot(vec, m) for every row m of `mats`
-  * (array<array<double>>) in one pass — the IVF centroid-assignment
-  * hot loop, replacing one interpreted `aggregate(zip_with(...))` per
-  * centroid. Exactly `transform(mats, m -> dot(vec, m))` for
-  * equal-length vectors (the only case the callers produce).
+/** Fused batch dot products against a BROADCAST centroid matrix:
+  * dot(vec, m) for every row m of `mats` in one pass — the IVF
+  * centroid-assignment hot loop, replacing one interpreted
+  * `aggregate(zip_with(...))` per centroid. Exactly
+  * `transform(matsLiteral, m -> dot(vec, m))` for equal-length vectors
+  * (the only case the callers produce) — but the matrix rides as a
+  * TorrentBroadcast handle, NOT a plan literal: at nCells ~ sqrt(N)
+  * sizing (FAISS-style IVF), 1B x 768-dim vectors mean ~32k x 768
+  * doubles ≈ 200 MB of centroids, which a `typedlit` would embed in
+  * every task's serialized expression tree; the broadcast ships once
+  * per executor and the expression is a few bytes on the wire.
   */
-case class DotProducts(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+case class BroadcastDotProducts(child: Expression,
+    mats: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def prettyName: String = "dot_products"
+  override def prettyName: String = "broadcast_dot_products"
 
-  override def nullSafeEval(vecAny: Any, matsAny: Any): Any = {
+  // resolved once per executor JVM from the block manager
+  @transient private lazy val m: Array[Array[Double]] = mats.value
+
+  override def nullSafeEval(vecAny: Any): Any = {
     val vec = vecAny.asInstanceOf[ArrayData]
-    val mats = matsAny.asInstanceOf[ArrayData]
-    val n = mats.numElements()
-    val out = new Array[Double](n)
+    val out = new Array[Double](m.length)
     var i = 0
-    while (i < n) {
-      val m = mats.getArray(i)
-      val dim = math.min(vec.numElements(), m.numElements())
+    while (i < m.length) {
+      val row = m(i)
+      val dim = math.min(vec.numElements(), row.length)
       var acc = 0.0d
       var d = 0
-      while (d < dim) { acc += vec.getDouble(d) * m.getDouble(d); d += 1 }
+      while (d < dim) { acc += vec.getDouble(d) * row(d); d += 1 }
       out(i) = acc
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
-object DotProducts {
-  def of(vec: Column, mats: Column): Column = {
+object BroadcastDotProducts {
+  def of(vec: Column,
+      mats: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(DotProducts(Bridge.expression(vec), Bridge.expression(mats)))
+    Bridge.column(BroadcastDotProducts(Bridge.expression(vec), mats))
   }
 }

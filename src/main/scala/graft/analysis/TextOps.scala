@@ -89,8 +89,8 @@ object TextOps {
     * regex passes per row once optimized). HOF form kept selectable and
     * cross-validated byte-identical.
     */
-  def simhash(text: Column): Column = {
-    if (useFusedMinhash)
+  def simhash(text: Column, fused: Boolean = true): Column = {
+    if (fused)
       Simhash64.of(transform(tokens(text), t => xxhash64(t))).as("simhash")
     else simhashHof(text)
   }
@@ -117,21 +117,31 @@ object TextOps {
     * Same banded-self-join shuffle shape as the MinHash path.
     */
   def simhashDupPairs(docs: DataFrame, id: Column, text: Column,
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 3, maxBucket: Int = 4096,
+      fused: Boolean = true): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming vs $bands)")
+    // bands=1 would wrap the band mask to 0 (one global bucket -> a full
+    // quadratic self-join); a non-divisor of 64 would silently leave the
+    // top 64 % bands bits out of every band key
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val base = docs.select(id.as("id"), simhash(text).as("sh"))
+    val base = docs.select(id.as("id"), simhash(text, fused).as("sh"))
       .withColumn("bk", explode_outer(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))
             .as("bucket"))): _*)))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket"))
       .cache() // caller owns the lifecycle (see minhashDupPairs)
-    val a = base.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val salted =
+      Buckets.saltOversized(base, Seq("band", "bucket"), col("id"), maxBucket)
+    val a = salted.select(col("band"), col("bucket"), col("__salt"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = salted.select(col("band"), col("bucket"), col("__salt"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
@@ -194,34 +204,35 @@ object TextOps {
     */
   /** Signature strategy: the fused native Expression (MinhashSignature,
     * one pass, no per-permutation arrays) is the default; the pure-HOF
-    * chain (minhashSignature0) remains selectable — a test asserts
+    * chain (minhashSignature0) remains selectable per-call via `fused`
+    * (a parameter, not a JVM-global — concurrent suites/sessions must
+    * not observe each other's plan encoding) — a test asserts
     * byte-identical signatures.
     */
-  @volatile var useFusedMinhash: Boolean = true
-
-  private def signature(hs: Column, m: Int): Column =
-    if (useFusedMinhash) MinhashSignature.of(hs, m)
+  private def signature(hs: Column, m: Int, fused: Boolean): Column =
+    if (fused) MinhashSignature.of(hs, m)
     else minhashSignature0(hs, m)
 
   /** Distinct n-gram hash set per doc — the near-dup map side. Fused
     * single-pass expression by default (string construction per shingle
     * dominates the HOF encoding, measured 4.8s of q25's 6.5s at sf0.1).
     */
-  private def shingleHashSet(text: Column, n: Int): Column =
-    if (useFusedMinhash) ShingleHashes.of(tokens(text), n)
+  private def shingleHashSet(text: Column, n: Int, fused: Boolean): Column =
+    if (fused) ShingleHashes.of(tokens(text), n)
     else array_distinct(shingleHashes(shingles(text, n)))
 
   def minhashDupPairs(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, m: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Int = 4096,
+      fused: Boolean = true): DataFrame = {
     // explode_outer: band-key arrays are never empty, and plain explode
     // lets InferFiltersFromGenerate push a filter that re-inlines the
     // whole minhash expression tree (see Pipeline.extractRows).
     // The rerank carries shingle HASHES (longs), not shingle strings —
     // same Jaccard modulo 64-bit collisions, far cheaper to shuffle and
     // intersect.
-    val base = docs.select(id.as("id"), shingleHashSet(text, n).as("hs"))
-      .withColumn("sig", signature(col("hs"), m))
+    val base = docs.select(id.as("id"), shingleHashSet(text, n, fused).as("hs"))
+      .withColumn("sig", signature(col("hs"), m, fused))
       .withColumn("bk", explode_outer(lshBandKeys(col("sig"), m, bands)))
       .select(col("id"), col("hs"), col("bk.band"), col("bk.bucket"))
       // materialization barrier: the self-join would otherwise recompute
@@ -232,9 +243,13 @@ object TextOps {
       // session invoking this repeatedly accumulates BlockManager
       // storage otherwise.
       .cache()
-    val a = base.select(col("band"), col("bucket"), col("id").as("id_a"), col("hs").as("hs_a"))
-    val b = base.select(col("band"), col("bucket"), col("id").as("id_b"), col("hs").as("hs_b"))
-    a.join(b, Seq("band", "bucket"))
+    val salted =
+      Buckets.saltOversized(base, Seq("band", "bucket"), col("id"), maxBucket)
+    val a = salted.select(col("band"), col("bucket"), col("__salt"),
+      col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = salted.select(col("band"), col("bucket"), col("__salt"),
+      col("id").as("id_b"), col("hs").as("hs_b"))
+    a.join(b, Seq("band", "bucket", "__salt"))
       .filter(col("id_a") < col("id_b"))
       // dedupe pairs BEFORE the exact-Jaccard rerank: a pair colliding
       // in k bands pays ONE set intersection, not k (the shingle-hash
@@ -250,4 +265,28 @@ object TextOps {
     transform(sequence(lit(0), lit(m - 1)),
       p => coalesce(array_min(transform(hs, h => xxhash64(p, h))),
         lit(Long.MaxValue)))
+
+  // ---- exact -> near dedup composition --------------------------------
+  /** The standard web-scale dedup cascade: collapse EXACT duplicates
+    * first (one keyed aggregation on a text hash), then run the MinHash
+    * LSH near-dup join over unique texts only. A 10^6-identical-
+    * boilerplate cluster costs one aggregation group here instead of a
+    * quadratically hot LSH bucket — the exact pre-pass is what keeps
+    * [[Buckets.saltOversized]]'s salt a backstop rather than a recall
+    * tax. Returns
+    *   (nearPairs among exact-group keepers: (id_a, id_b, jaccard),
+    *    exactGroups: (dup_key, n_dups, keeper_id))
+    * — together they define the full duplicate relation: ids sharing an
+    * exact group are duplicates of their keeper; keepers linked by a
+    * near pair are near-duplicates of each other.
+    */
+  def dedupCascade(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, m: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
+      maxBucket: Int = 4096, fused: Boolean = true): (DataFrame, DataFrame) = {
+    val named = docs.select(id.as("id"), text.as("text"))
+    val reps = dedupExact(named, xxhash64(col("text")), col("id"))
+    val pairs = minhashDupPairs(reps, col("id"), col("text"),
+      n, m, bands, minJaccard, maxBucket, fused)
+    (pairs, exactDupGroups(named, xxhash64(col("text")), col("id")))
+  }
 }

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Embedding tables commonly store array<float>; the fused
-    * expressions (SignProjections / DotProducts) and driver-side
-    * centroid math read doubles, so every entry point normalizes the
-    * vector column first (no-op for already-double columns).
+    * expressions (SignProjections / BroadcastDotProducts) and
+    * driver-side centroid math read doubles, so every entry point
+    * normalizes the vector column first (no-op for already-double
+    * columns).
     */
   private def vecAsDouble(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn(vecCol, col(vecCol).cast("array<double>"))
@@ -75,9 +76,17 @@ object VectorOps {
         lit(0.0d), (acc, v) => acc + v))
 
   /** 2^i as a long, expression-side (shiftleft has no Column-shift
-    * overload inside HOF lambdas; exact for i < 53).
+    * overload inside HOF lambdas; powers of two are exact doubles, and
+    * the long cast is ANSI-safe for i <= 62 — guarded by requirePlanes).
     */
   private def bit(i: Column): Column = pow(lit(2.0d), i).cast("long")
+
+  /** Bucket ids are built as sums of 2^i longs: nPlanes > 62 would
+    * overflow the ANSI-checked cast/sum at runtime with an opaque error.
+    */
+  private def requirePlanes(nPlanes: Int): Unit =
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"nPlanes must be in [1, 62] (bucket ids are 2^i sums in a long), got $nPlanes")
 
   /** Sign bucket from a projections array: bit i set iff proj(i) >= 0. */
   private def bucketOf(projs: Column): Column =
@@ -86,24 +95,28 @@ object VectorOps {
       lit(0L), (acc, b) => acc + b)
 
   /** Sign-LSH bucket id (kept as the single-table public primitive). */
-  def lshBucket(vec: Column, nPlanes: Int = 16, table: Int = 0): Column =
+  def lshBucket(vec: Column, nPlanes: Int = 16, table: Int = 0): Column = {
+    requirePlanes(nPlanes)
     bucketOf(projections(vec, nPlanes, table))
+  }
 
   /** Projection strategy: fused single-pass SignProjections expression
     * (default) vs the HOF form whose tables*nPlanes separate
     * `aggregate(zip_with(...))` passes re-walk the vector through
-    * interpreted lambdas; cross-validated byte-identical by test.
+    * interpreted lambdas. Selected per-call via `fused` (a parameter,
+    * not a JVM-global — concurrent suites/sessions must not observe
+    * each other's plan encoding); cross-validated byte-identical by
+    * test. All projections as [table][plane] (array<array<double>>).
     */
-  @volatile var useFusedLsh: Boolean = true
-
-  /** All projections as [table][plane] (array<array<double>>). */
-  private def projMatrix(vec: Column, nPlanes: Int, tables: Int): Column =
-    if (useFusedLsh) SignProjections.of(vec, nPlanes, tables)
+  private def projMatrix(vec: Column, nPlanes: Int, tables: Int,
+      fused: Boolean): Column =
+    if (fused) SignProjections.of(vec, nPlanes, tables)
     else array((0 until tables).map(t => projections(vec, nPlanes, t)): _*)
 
   /** Corpus-side keys: one (table, bucket) per table. */
-  private def lshKeys(vec: Column, nPlanes: Int, tables: Int): Column =
-    zip_with(projMatrix(vec, nPlanes, tables), sequence(lit(0), lit(tables - 1)),
+  private def lshKeys(vec: Column, nPlanes: Int, tables: Int,
+      fused: Boolean): Column =
+    zip_with(projMatrix(vec, nPlanes, tables, fused), sequence(lit(0), lit(tables - 1)),
       (projs, t) => struct(t.as("table"), bucketOf(projs).as("bucket")))
 
   /** Query-side multi-probe keys: per table, the home bucket plus every
@@ -114,9 +127,9 @@ object VectorOps {
     * count instead of by collapsing the bucket space.
     */
   private def probeKeys(vec: Column, nPlanes: Int, tables: Int,
-      probeBits: Int): Column = {
+      probeBits: Int, fused: Boolean): Column = {
     val nProbes = 1 << probeBits
-    val perTable = projMatrix(vec, nPlanes, tables)
+    val perTable = projMatrix(vec, nPlanes, tables, fused)
     flatten(zip_with(perTable, sequence(lit(0), lit(tables - 1)), (projs, t) => {
       val home = bucketOf(projs)
       // plane indices ordered by |projection| ascending (struct sort:
@@ -148,18 +161,20 @@ object VectorOps {
     * nPlanes — brute force is the honest choice there anyway.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nPlanes: Int = 16, tables: Int = 4, probeBits: Int = 3): DataFrame = {
+      nPlanes: Int = 16, tables: Int = 4, probeBits: Int = 3,
+      fused: Boolean = true): DataFrame = {
+    requirePlanes(nPlanes)
     require(probeBits >= 0 && probeBits <= nPlanes,
       s"probeBits must be in [0, nPlanes], got $probeBits vs $nPlanes")
     // explode_outer everywhere: never-empty arrays + avoids the
     // inferred-filter re-inline trap (see Pipeline.extractRows)
     val c = vecAsDouble(corpus, "embedding")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
-      .withColumn("bk", explode_outer(lshKeys(col("c_vec"), nPlanes, tables)))
+      .withColumn("bk", explode_outer(lshKeys(col("c_vec"), nPlanes, tables, fused)))
       .select(col("neighbor_id"), col("c_vec"), col("bk.table"), col("bk.bucket"))
     val q = vecAsDouble(queries, "embedding")
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-      .withColumn("bk", explode_outer(probeKeys(col("q_vec"), nPlanes, tables, probeBits)))
+      .withColumn("bk", explode_outer(probeKeys(col("q_vec"), nPlanes, tables, probeBits, fused)))
       .select(col("query_id"), col("q_vec"), col("bk.table"), col("bk.bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -183,37 +198,60 @@ object VectorOps {
     * similarity does; identical vectors are caught with certainty.
     */
   def cosineDupPairs(corpus: DataFrame, minCos: Double,
-      nPlanes: Int = 16, tables: Int = 4): DataFrame = {
+      nPlanes: Int = 16, tables: Int = 4, maxBucket: Int = 4096,
+      fused: Boolean = true): DataFrame = {
+    requirePlanes(nPlanes)
     val keyed = vecAsDouble(corpus, "embedding").select(col("vec_id"), col("embedding"))
-      .withColumn("bk", explode_outer(lshKeys(col("embedding"), nPlanes, tables)))
+      .withColumn("bk", explode_outer(lshKeys(col("embedding"), nPlanes, tables, fused)))
       .select(col("vec_id"), col("embedding"), col("bk.table"), col("bk.bucket"))
       .cache() // caller owns the lifecycle (see TextOps.minhashDupPairs)
-    val a = keyed.select(col("table"), col("bucket"),
+    // hot-bucket bound (see Buckets): a cluster of identical/mirrored
+    // embeddings shares every sign bit, so ONE bucket per table holds the
+    // whole cluster — exactly the M^2 blowup the salt bounds. Collapse
+    // bit-identical vectors first where the data allows it.
+    val salted =
+      Buckets.saltOversized(keyed, Seq("table", "bucket"), col("vec_id"), maxBucket)
+    val a = salted.select(col("table"), col("bucket"), col("__salt"),
       col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = keyed.select(col("table"), col("bucket"),
+    val b = salted.select(col("table"), col("bucket"), col("__salt"),
       col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    a.join(b, Seq("table", "bucket"))
+    a.join(b, Seq("table", "bucket", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
+  /** Centroid dot products for cell assignment, as a vec-Column ->
+    * dots-Column function plus the broadcast handle (for callers that
+    * can release it after their action). The fused default consumes the
+    * centroids via a TorrentBroadcast inside a native expression — at
+    * the documented nCells ~ sqrt(N) sizing, 1B vectors x 768 dims is
+    * ~200 MB of centroids, which as a `typedlit` plan literal would ride
+    * in EVERY task's serialized expression tree; a broadcast ships once
+    * per executor. The HOF twin keeps the literal encoding (tiny at test
+    * scale) and is cross-validated byte-identical.
+    */
+  private def centroidDotsFn(unitCents: Seq[Seq[Double]],
+      spark: org.apache.spark.sql.SparkSession, fused: Boolean)
+      : (Column => Column,
+         Option[org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]) =
+    if (fused) {
+      val bc = spark.sparkContext.broadcast(unitCents.map(_.toArray).toArray)
+      ((v: Column) => BroadcastDotProducts.of(v, bc), Some(bc))
+    } else {
+      ((v: Column) => transform(typedlit(unitCents), c => dot(v, c)), None)
+    }
+
   /** Query-side cell probes: indices of the `nProbe` nearest (by dot
     * against unit-normalized centroids == by cosine) cells, via one
-    * struct sort — same shape as the LSH probe machinery. The
-    * per-centroid dots use the fused DotProducts expression (or the HOF
-    * form under the useFusedLsh toggle; byte-identical, tested).
+    * struct sort — same shape as the LSH probe machinery.
     */
-  private def cellKeys(vec: Column, cents: Column, nProbe: Int): Column = {
-    val dots =
-      if (useFusedLsh) DotProducts.of(vec, cents)
-      else transform(cents, c => dot(vec, c))
+  private def cellKeys(dots: Column, nProbe: Int): Column =
     slice(transform(array_sort(
       zip_with(dots, sequence(lit(0), size(dots) - 1),
         (d, i) => struct((-d).as("d"), i.as("cell")))),
       s => s("cell")), 1, nProbe)
-  }
 
   private def unitNorm(cents: Seq[Seq[Double]]): Seq[Seq[Double]] =
     cents.map { v =>
@@ -237,13 +275,13 @@ object VectorOps {
     * centroid.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int,
-      iters: Int = 2): Seq[Seq[Double]] = {
+      iters: Int = 2, fused: Boolean = true): Seq[Seq[Double]] = {
     var cents = seedCentroids(corpus, k)
     val dcorpus = vecAsDouble(corpus, "embedding")
     for (_ <- 1 to iters) {
+      val (dotsOf, bc) = centroidDotsFn(unitNorm(cents), corpus.sparkSession, fused)
       val assigned = dcorpus.select(col("embedding"),
-        explode_outer(cellKeys(col("embedding"), typedlit(unitNorm(cents)), 1))
-          .as("cell"))
+        explode_outer(cellKeys(dotsOf(col("embedding")), 1)).as("cell"))
       val stats = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
@@ -258,6 +296,8 @@ object VectorOps {
           case None => old // empty cell keeps its centroid
         }
       }
+      // the iteration's action is complete; its centroid broadcast is dead
+      bc.foreach(_.unpersist(blocking = false))
     }
     cents
   }
@@ -265,7 +305,8 @@ object VectorOps {
   /** IVF (inverted-file) ANN — the centroid-partitioned alternative to
     * sign-LSH, per the round brief ("IVF or LSH-bucketed"). Corpus
     * vectors are assigned to their single nearest of `nCells` centroids
-    * (map-side: centroids ride along as a broadcast-sized literal);
+    * (map-side: centroids ship once per executor as a broadcast read by
+    * the native dot-product expression, never as a plan literal);
     * queries probe their `nProbe` nearest cells; candidates meet in a
     * cell-keyed join, then ONE exact cosine per deduped pair and a
     * per-query top-k window. Pass `centroids =
@@ -276,15 +317,18 @@ object VectorOps {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 64, nProbe: Int = 4,
-      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
-    val cents = centroids.getOrElse(seedCentroids(corpus, nCells))
-    val centCol = typedlit(unitNorm(cents))
+      centroids: Option[Seq[Seq[Double]]] = None,
+      fused: Boolean = true): DataFrame = {
+    val cents = unitNorm(centroids.getOrElse(seedCentroids(corpus, nCells)))
+    // one broadcast serves both sides; it lives as long as the returned
+    // plan may execute, so no unpersist here (Spark GCs it with the ref)
+    val (dotsOf, _) = centroidDotsFn(cents, corpus.sparkSession, fused)
     val c = vecAsDouble(corpus, "embedding")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
-      .withColumn("cell", explode_outer(cellKeys(col("c_vec"), centCol, 1)))
+      .withColumn("cell", explode_outer(cellKeys(dotsOf(col("c_vec")), 1)))
     val q = vecAsDouble(queries, "embedding")
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-      .withColumn("cell", explode_outer(cellKeys(col("q_vec"), centCol, nProbe)))
+      .withColumn("cell", explode_outer(cellKeys(dotsOf(col("q_vec")), nProbe)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, Seq("cell"))
@@ -300,9 +344,9 @@ object VectorOps {
     * invariant is max(n) ≈ N/2^nPlanes per table, NOT N/16.
     */
   def bucketOccupancy(corpus: DataFrame, nPlanes: Int = 16,
-      tables: Int = 4): DataFrame =
+      tables: Int = 4, fused: Boolean = true): DataFrame =
     vecAsDouble(corpus, "embedding").select(col("vec_id"),
-        explode_outer(lshKeys(col("embedding"), nPlanes, tables)).as("bk"))
+        explode_outer(lshKeys(col("embedding"), nPlanes, tables, fused)).as("bk"))
       .groupBy(col("bk.table"), col("bk.bucket"))
       .agg(count(lit(1)).as("n"))
 }

@@ -111,10 +111,13 @@ object AnalyteExtract {
     }: _*), e => e.isNotNull))
   }
 
-  /** French lab-report date `dd/MM/yyyy` (day 1-31, month 1-12ish by
-    * shape; semantic validity is the corpus generator's job).
+  /** French lab-report date `dd/MM/yyyy`, shape-validated: day 1-31,
+    * month 1-12 (a looser [01]?\d month would accept 13-19 and 00 and
+    * normalize them into invalid ISO strings on real text). Mirrored in
+    * fixtures/gen_analyte_expected.py — change BOTH and regenerate
+    * expected_dates.parquet.
     */
-  val DateRe = """(?U)\b([0-3]?\d)/([01]?\d)/(20\d\d)\b"""
+  val DateRe = """(?U)\b(0?[1-9]|[12]\d|3[01])/(0?[1-9]|1[0-2])/(20\d\d)\b"""
 
   /** First report date in the text, normalized to ISO `yyyy-MM-dd`
     * (string-level — no timezone/calendar semantics to diverge on).

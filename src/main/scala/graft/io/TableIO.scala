@@ -19,9 +19,15 @@ import graft.io.ExtractJob.AuditRecord
   * commit protocol mirrors the Iceberg semantics the job relies on:
   * atomic publish (write-temp + rename — Iceberg's snapshot swap),
   * manifest listing for resume (Iceberg's snapshot list), idempotent
-  * per-bucket overwrite (Iceberg's overwrite-partition). On a real
-  * cluster instantiate `new FormatTableIO("iceberg")` and point outDir
-  * at a table location — the job code is identical.
+  * per-bucket overwrite (Iceberg's overwrite-partition).
+  *
+  * Scope of the default impl (be honest about the seam): FormatTableIO
+  * is parquet-over-a-path + local-filesystem audit. Its `readResults`
+  * path glob and java.nio atomic rename do NOT transfer to an Iceberg
+  * table or to object storage (no atomic rename on S3); a real Iceberg
+  * backend implements this trait with table identifiers, per-partition
+  * overwrites and snapshot commits — the JOB code (ExtractJob) is what
+  * stays identical, because it only ever talks to the trait.
   */
 trait DocTableIO extends Serializable {
 
@@ -47,10 +53,16 @@ trait DocTableIO extends Serializable {
   def readAudit(outDir: String, runId: String): Seq[AuditRecord]
 }
 
-/** DataSource-format-parameterized implementation: "parquet" in this
-  * sandbox, "iceberg" (or any V2 source) on a cluster that ships it.
+/** Path-based DataSource implementation ("parquet" here; any V1/V2
+  * path-addressed format works). The audit manifest is written and read
+  * with the Jackson shipped in Spark — real JSON both ways, so an
+  * AuditRecord field containing quotes/backslashes/newlines round-trips
+  * (a ResumeSpec property test pins this).
   */
 class FormatTableIO(format: String = "parquet") extends DocTableIO {
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
 
   override def writeBucket(df: DataFrame, outDir: String, bucket: Int): Unit =
     df.write.mode("overwrite").format(format).save(s"$outDir/bucket=$bucket")
@@ -69,11 +81,16 @@ class FormatTableIO(format: String = "parquet") extends DocTableIO {
   override def commitAudit(outDir: String, rec: AuditRecord): Unit = {
     val dir = auditDir(outDir, rec.run_id)
     Files.createDirectories(dir)
-    val json =
-      s"""{"run_id": "${rec.run_id}", "bucket": ${rec.bucket}, """ +
-        s""""n_docs": ${rec.n_docs}, "n_ok": ${rec.n_ok}, """ +
-        s""""n_ocr_failed": ${rec.n_ocr_failed}, "n_not_found": ${rec.n_not_found}, """ +
-        s""""wall_ms": ${rec.wall_ms}, "committed_at_ms": ${rec.committed_at_ms}}"""
+    val node = mapper.createObjectNode()
+    node.put("run_id", rec.run_id)
+    node.put("bucket", rec.bucket)
+    node.put("n_docs", rec.n_docs)
+    node.put("n_ok", rec.n_ok)
+    node.put("n_ocr_failed", rec.n_ocr_failed)
+    node.put("n_not_found", rec.n_not_found)
+    node.put("wall_ms", rec.wall_ms)
+    node.put("committed_at_ms", rec.committed_at_ms)
+    val json = mapper.writeValueAsString(node)
     val tmp = dir.resolve(s".bucket-${rec.bucket}.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     // atomic publish: the record only becomes visible fully written
@@ -97,13 +114,11 @@ class FormatTableIO(format: String = "parquet") extends DocTableIO {
     Files.list(dir).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".json"))
       .map { p =>
-        val m = Files.readString(p)
-        def f(k: String): Long =
-          s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(m).get.group(1).toLong
-        AuditRecord(
-          s""""run_id":\\s*"([^"]*)"""".r.findFirstMatchIn(m).get.group(1),
-          f("bucket").toInt, f("n_docs"), f("n_ok"), f("n_ocr_failed"),
-          f("n_not_found"), f("wall_ms"), f("committed_at_ms"))
+        val n = mapper.readTree(Files.readString(p))
+        AuditRecord(n.get("run_id").asText(), n.get("bucket").asInt(),
+          n.get("n_docs").asLong(), n.get("n_ok").asLong(),
+          n.get("n_ocr_failed").asLong(), n.get("n_not_found").asLong(),
+          n.get("wall_ms").asLong(), n.get("committed_at_ms").asLong())
       }.sortBy(_.bucket)
   }
 }

@@ -74,9 +74,29 @@ object SimulatedOcr extends OcrEngine {
   */
 object OcrEnginePool {
   @volatile private var factory: () => OcrEngine = () => SimulatedOcr
-  @transient lazy val engine: OcrEngine = factory()
-  /** Test/production seam; must be called before first use on the JVM. */
-  def install(f: () => OcrEngine): Unit = { factory = f }
+  @volatile private var cached: OcrEngine = null
+
+  /** One engine instance per executor JVM (built on first use, reused by
+    * every task thereafter — the per-row-init amortization).
+    */
+  def engine: OcrEngine = {
+    var e = cached
+    if (e == null) synchronized {
+      if (cached == null) cached = factory()
+      e = cached
+    }
+    e
+  }
+
+  /** Production/test seam: swap the engine factory (next `engine` call
+    * rebuilds). In cluster mode each executor JVM starts from the
+    * default factory — wire a real engine via a static initializer or
+    * this call in a startup hook; local/test mode shares the one JVM.
+    */
+  def install(f: () => OcrEngine): Unit = synchronized {
+    factory = f
+    cached = null
+  }
 }
 
 object OcrRun {

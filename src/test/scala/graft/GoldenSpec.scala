@@ -47,8 +47,9 @@ class GoldenSpec extends AnyFunSuite {
 
   lazy val docs = Corpus.generate(spark, 200).cache()
 
-  private def check(mode: String, iterative: Boolean = false): Unit = {
-    val got = Pipeline.extractRows(docs, mode, iterative)
+  private def check(mode: String, iterative: Boolean = false,
+      fused: Boolean = true): Unit = {
+    val got = Pipeline.extractRows(docs, mode, iterative, fused)
       .select(col("doc_id"), lit(mode).as("mode"), col("kind"), col("text"),
         col("media_ref"), col("order"))
       .as[Fx].collect().toSeq
@@ -69,19 +70,14 @@ class GoldenSpec extends AnyFunSuite {
 
   test("mode=light matches reference-derived golden fixtures")(check("light"))
   test("HOF (UDF-free) gather path matches golden too (all modes)") {
-    Pipeline.useFusedGather = false
-    try { check("light"); check("auto") }
-    finally Pipeline.useFusedGather = true
+    check("light", fused = false); check("auto", fused = false)
   }
   test("fused Expression gather == HOF expression-chain gather") {
     val ocr = Pipeline.ocrAll(docs).toDF()
-    def cands(fused: Boolean) = {
-      Pipeline.useFusedGather = fused
-      try Pipeline.withLevelResult(ocr, "optimum_raw", "r")
+    def cands(fused: Boolean) =
+      Pipeline.withLevelResult(ocr, "optimum_raw", "r", fused = fused)
         .select(col("doc_id"), col("r_cands").cast("string").as("c"))
         .orderBy("doc_id").as[(String, String)].collect().toSeq
-      finally Pipeline.useFusedGather = true
-    }
     assert(cands(true) == cands(false))
   }
   test("mode=premium matches reference-derived golden fixtures")(check("premium"))
@@ -126,6 +122,35 @@ class GoldenSpec extends AnyFunSuite {
       .orderBy("doc_id")
       .as[(String, Seq[graft.schema.OutSpan])].collect().toSeq
     assert(skew == base)
+  }
+
+  test("skew path is mode-aware: explicit light pays ONE ocrPage per media span") {
+    import graft.media.{OcrEngine, OcrEnginePool, SimulatedOcr}
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    class CountingEngine extends OcrEngine {
+      override def ocrPage(level: String, ref: String) = {
+        counter.incrementAndGet()
+        SimulatedOcr.ocrPage(level, ref)
+      }
+    }
+    val skewDocs = Corpus.generate(spark, 120, skew = true).cache()
+    val nMedia = skewDocs.collect()
+      .map(_.spans.count(_.kind == "media")).sum.toLong
+    // NO orderBy before collect here: range partitioning runs a sampling
+    // job that would execute the OCR mapPartitions a second time and
+    // break the exact call count — sort driver-side instead
+    val expected = Pipeline.extract(skewDocs, "light")
+      .as[(String, Seq[graft.schema.OutSpan])].collect().toSeq.sortBy(_._1)
+    OcrEnginePool.install(() => new CountingEngine)
+    try {
+      val got = Pipeline.extractSkewAware(skewDocs, "light", threshold = 8)
+        .as[(String, Seq[graft.schema.OutSpan])].collect().toSeq.sortBy(_._1)
+      assert(got == expected, "mode-aware skew path changed the spans")
+      // before the fix heavy docs paid 3 levels per page regardless of
+      // mode; now every media span (heavy AND normal) costs exactly one
+      assert(counter.get() == nMedia,
+        s"expected $nMedia ocrPage calls for mode=light, got ${counter.get()}")
+    } finally OcrEnginePool.install(() => SimulatedOcr)
   }
 
   test("output is invariant under repartitioning (determinism, Q7)") {

@@ -25,28 +25,25 @@ class LineOracleSpec extends AnyFunSuite {
   }
 
   private def runAll(fused: Boolean): Unit = {
-    Pipeline.useFusedGather = fused
-    try {
-      val in = oracle.map(_.line).toDF("raw")
-      val got = Pipeline.withLevelResult(in, "raw", "r")
-        .select(col("raw"),
-          col("r.ok"), col("r.value"), col("r.unit"),
-          col("r.ref_min"), col("r.ref_max"), col("r.confidence"), col("r.error"))
-        .as[(String, Boolean, Option[Double], Option[String], Option[Double],
-          Option[Double], Option[String], Option[String])]
-        .collect().map(r => r._1 -> r).toMap
-      oracle.foreach { o =>
-        val g = got(o.line)
-        val clue = s"line=<${o.line}> fused=$fused got=$g want=$o"
-        assert(g._2 == o.ok, clue)
-        assert(g._3 == o.value, clue)
-        assert(g._4 == o.unit, clue)
-        assert(g._5 == o.ref_min, clue)
-        assert(g._6 == o.ref_max, clue)
-        assert(g._7 == o.confidence, clue)
-        assert(g._8 == (if (o.ok) None else o.error), clue)
-      }
-    } finally Pipeline.useFusedGather = true
+    val in = oracle.map(_.line).toDF("raw")
+    val got = Pipeline.withLevelResult(in, "raw", "r", fused = fused)
+      .select(col("raw"),
+        col("r.ok"), col("r.value"), col("r.unit"),
+        col("r.ref_min"), col("r.ref_max"), col("r.confidence"), col("r.error"))
+      .as[(String, Boolean, Option[Double], Option[String], Option[Double],
+        Option[Double], Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    oracle.foreach { o =>
+      val g = got(o.line)
+      val clue = s"line=<${o.line}> fused=$fused got=$g want=$o"
+      assert(g._2 == o.ok, clue)
+      assert(g._3 == o.value, clue)
+      assert(g._4 == o.unit, clue)
+      assert(g._5 == o.ref_min, clue)
+      assert(g._6 == o.ref_max, clue)
+      assert(g._7 == o.confidence, clue)
+      assert(g._8 == (if (o.ok) None else o.error), clue)
+    }
   }
 
   test("fused Expression path matches reference on 55 surgical lines") {

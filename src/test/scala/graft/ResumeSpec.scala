@@ -47,6 +47,26 @@ class ResumeSpec extends AnyFunSuite {
       audit.map(_.n_ocr_failed).sum + audit.map(_.n_not_found).sum == 300)
   }
 
+  test("audit records round-trip through real JSON (hostile run_id survives)") {
+    val io = new graft.io.FormatTableIO("parquet")
+    val out = Files.createTempDirectory("graft-audit-rt").toString
+    // strings a regex-based parser chokes on: quotes, backslashes,
+    // newlines, braces — must round-trip byte-identically (run_id also
+    // names the audit directory, so it stays within path-legal bytes)
+    val hostile = Seq(
+      """r"1" with \"escaped\" quotes""",
+      "line\nbreak\tand\ttabs",
+      """back\slash & {"json": "lookalike"}""")
+    hostile.zipWithIndex.foreach { case (runId, i) =>
+      val rec = ExtractJob.AuditRecord(runId, i, 10L + i, 7L, 2L, 1L,
+        1234L, 1755360000000L + i)
+      io.commitAudit(out, rec)
+      val back = io.readAudit(out, runId)
+      assert(back == Seq(rec), s"round-trip mismatch for run_id <$runId>: $back")
+      assert(io.committedBuckets(out, runId) == Set(i))
+    }
+  }
+
   test("job through an explicit TableIO seam, skewed corpus, skew-aware path") {
     val io = new graft.io.FormatTableIO("parquet")
     // skew=true plants ~1% oversized multi-page docs; threshold 16 routes

@@ -55,6 +55,31 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("NULL array elements from SQL match the HOF twins, no undefined reads") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // minhash_signature(array(1L, NULL), m): the HOF twin's xxhash64(p, h)
+    // SKIPS a null argument -> hashInt(p, 42) for that slot
+    val sql = spark.sql(
+      "SELECT minhash_signature(array(1L, CAST(NULL AS bigint)), 4) AS s")
+      .as[Seq[Long]].head()
+    val hof = spark.sql("SELECT array(1L, CAST(NULL AS bigint)) AS hs")
+      .select(graft.analysis.TextOps.minhashSignature0(col("hs"), 4))
+      .as[Seq[Long]].head()
+    assert(sql == hof, s"fused $sql != HOF $hof on a null element")
+    // shingle_hashes over a null token: concat_ws skips nulls both ways
+    val sqlSh = spark.sql(
+      "SELECT shingle_hashes(array('a', CAST(NULL AS string), 'b'), 2) AS s")
+      .as[Seq[Long]].head()
+    val hofSh = spark.sql("SELECT array('a', CAST(NULL AS string), 'b') AS toks")
+      .select(array_distinct(graft.analysis.TextOps.shingleHashes(
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(2)))))))
+      .as[Seq[Long]].head()
+    assert(sqlSh == hofSh, s"fused $sqlSh != HOF $hofSh on a null token")
+  }
+
   test("unknown pipeline modes are rejected up front (app.py Literal enum)") {
     val docs = graft.corpus.Corpus.generate(spark, 4)
     val e = intercept[IllegalArgumentException] {
