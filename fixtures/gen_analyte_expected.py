@@ -37,7 +37,9 @@ CONFIGS = [
     ("cholesterol", r"cholest[ée]rol", r"g ?/?L"),
 ]
 
-DATE_RE = re.compile(r"\b([0-3]?\d)/([01]?\d)/(20\d\d)\b")
+# shape-validated like graft.extract.AnalyteExtract.DateRe: day 1-31,
+# month 1-12 (a looser month class would accept 13-19 and 00)
+DATE_RE = re.compile(r"\b(0?[1-9]|[12]\d|3[01])/(0?[1-9]|1[0-2])/(20\d\d)\b")
 
 
 def normalize(text):

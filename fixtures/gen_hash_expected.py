@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Independent (pure-Python, see xxh64.py) implementation of the
+hash-based analysis queries, producing expected parquet the driver's
+DuckDB oracle can hash-compare — converting q25/q26/q27/q45/q48 from
+`no_oracle` rows-only checks into genuine cross-implementation checks.
+
+Inputs are the SAME tables the queries read: documents.parquet at the
+sf the driver verifies with (sf0.01). Re-run after changing that input
+or any of the mirrored semantics:
+
+    python3 fixtures/gen_hash_expected.py [sfDir]
+
+Writes (all under fixtures/):
+    expected_simhash.parquet        (doc_id, simhash)        for q26
+    expected_fingerprint.parquet    (doc_id, fp)             for q27
+    expected_minhash_pairs.parquet  (id_a, id_b, jaccard)    for q25
+    expected_simhash_pairs.parquet  (id_a, id_b, hamming)    for q45
+    expected_dedup_cascade.parquet  (id_a, id_b, jaccard)    for q48
+
+Mirrored semantics (kept in lockstep with graft.analysis.TextOps — the
+constants here ARE the spec):
+    tokens:    [\\p{L}0-9']+ over lower(text)
+    simhash:   per-bit majority vote of xxhash64(token), 64 bits
+    fingerprint: chain acc=1125899906842597; acc=xxhash64(acc, token)
+    minhash:   3-gram shingles joined ' ', distinct, h=xxhash64(shingle);
+               sig[p]=min_h xxhash64(int p, long h), m=16 (SIGNED min);
+               band key = xxhash64(concat_ws('_', sig[4b:4b+4])), 4 bands;
+               pairs share any band; jaccard over shingle-hash sets >= .5
+    simhash bands: 4 x 16-bit chunks of the simhash; hamming <= 3
+    cascade:   exact collapse on xxhash64(text) (keeper = min id), then
+               the minhash join over keepers only
+"""
+import os
+import sys
+
+import duckdb
+import regex
+
+from xxh64 import hash_int, hash_long, hash_utf8, to_signed
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+TOKEN_RE = regex.compile(r"[\p{L}0-9']+")
+LONG_MAX = (1 << 63) - 1
+
+
+def tokens(text):
+    return TOKEN_RE.findall(text.lower())
+
+
+def simhash(text):
+    votes = [0] * 64
+    for t in tokens(text):
+        h = hash_utf8(t, 42)  # unsigned view; bit b == Java (h >>> b) & 1
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    u = 0
+    for b in range(64):
+        if votes[b] > 0:
+            u |= 1 << b
+    return to_signed(u)
+
+
+def fingerprint(text):
+    acc = 1125899906842597
+    for t in tokens(text):
+        acc = to_signed(hash_utf8(t, hash_long(acc, 42)))
+    return acc
+
+
+def shingle_hashes(text, n=3):
+    toks = tokens(text)
+    return {to_signed(hash_utf8(" ".join(toks[i:i + n]), 42))
+            for i in range(len(toks) - n + 1)}
+
+
+def minhash_sig(hs, m=16):
+    sig = []
+    for p in range(m):
+        seed_p = hash_int(p, 42)
+        sig.append(min((to_signed(hash_long(h, seed_p)) for h in hs),
+                       default=LONG_MAX))
+    return sig
+
+
+def band_keys(sig, m=16, bands=4):
+    rows = m // bands
+    return [(b, to_signed(hash_utf8(
+        "_".join(str(v) for v in sig[b * rows:(b + 1) * rows]), 42)))
+        for b in range(bands)]
+
+
+def minhash_pairs(docs, min_jaccard=0.5):
+    """docs: {id: text}. Returns [(id_a, id_b, jaccard)]."""
+    hs = {i: shingle_hashes(t) for i, t in docs.items()}
+    buckets = {}
+    for i in docs:
+        for key in band_keys(minhash_sig(hs[i])):
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                pairs.add((members[x], members[y]))
+    out = []
+    for a, b in sorted(pairs):
+        inter = len(hs[a] & hs[b])
+        union = len(hs[a] | hs[b])
+        j = inter / union if union else 0.0
+        if j >= min_jaccard:
+            out.append((a, b, j))
+    return out
+
+
+def simhash_pairs(docs, bands=4, max_hamming=3):
+    sh = {i: simhash(t) & ((1 << 64) - 1) for i, t in docs.items()}
+    buckets = {}
+    for i in docs:
+        for b in range(bands):
+            key = (b, (sh[i] >> (b * (64 // bands))) & ((1 << (64 // bands)) - 1))
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                pairs.add((members[x], members[y]))
+    out = []
+    for a, b in sorted(pairs):
+        h = bin(sh[a] ^ sh[b]).count("1")
+        if h <= max_hamming:
+            out.append((a, b, h))
+    return out
+
+
+def write(con, name, ddl, rows):
+    con.execute(f"DROP TABLE IF EXISTS t; CREATE TABLE t ({ddl})")
+    if rows:
+        con.executemany(
+            f"INSERT INTO t VALUES ({', '.join('?' * len(rows[0]))})", rows)
+    out = f"{HERE}/{name}.parquet"
+    con.execute(f"COPY t TO '{out}' (FORMAT PARQUET)")
+    print(f"wrote {len(rows):6d} rows to {name}.parquet")
+
+
+def main(sf_dir):
+    con = duckdb.connect()
+    base = dict(con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id").fetchall())
+
+    # q26 / q27: per-doc sketches over the raw table
+    write(con, "expected_simhash", "doc_id BIGINT, simhash BIGINT",
+          [(i, simhash(t)) for i, t in base.items()])
+    write(con, "expected_fingerprint", "doc_id BIGINT, fp BIGINT",
+          [(i, fingerprint(t)) for i, t in base.items()])
+
+    # q25: base + injected near-dups (ids +1000000, text + ' extra token')
+    q25 = dict(base)
+    for i, t in base.items():
+        if i < 20:
+            q25[i + 1000000] = t + " extra token"
+    write(con, "expected_minhash_pairs",
+          "id_a BIGINT, id_b BIGINT, jaccard DOUBLE", minhash_pairs(q25))
+
+    # q45: base + injected near-dups (ids +2000000, text + ' zz')
+    q45 = dict(base)
+    for i, t in base.items():
+        if i < 20:
+            q45[i + 2000000] = t + " zz"
+    write(con, "expected_simhash_pairs",
+          "id_a BIGINT, id_b BIGINT, hamming INTEGER", simhash_pairs(q45))
+
+    # q48: exact->near cascade — base + a 500-strong identical cluster of
+    # doc 0's text + the q25-style near-dups; exact collapse on
+    # xxhash64(text) with min-id keeper, then minhash over keepers only
+    q48 = dict(q25)
+    for i in range(500):
+        q48[5000000 + i] = base[0]
+    groups = {}
+    for i, t in sorted(q48.items()):
+        groups.setdefault(to_signed(hash_utf8(t, 42)), []).append(i)
+    keepers = {min(ids): q48[min(ids)] for ids in groups.values()}
+    write(con, "expected_dedup_cascade",
+          "id_a BIGINT, id_b BIGINT, jaccard DOUBLE", minhash_pairs(keepers))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")

@@ -313,8 +313,9 @@ object SparkEntry {
     }),
     "q42_ocr_boxes" -> ((s, _) => {
       // O2 audit surface: per-doc OCR box stats (ocr_engine.py:88-97
-      // box dicts; engine-specific content -> rows-only)
-      val ocr = Pipeline.ocrAll(Corpus.generate(s, 300)).toDF()
+      // box dicts) over the 200-doc fixture corpus, hash-checked
+      // against the frozen engine dump (gen_pipeline_expected.py)
+      val ocr = Pipeline.ocrAll(Corpus.generate(s, 200)).toDF()
       ocr.select(col("doc_id"), explode_outer(col("premium_boxes")).as("b"))
         .groupBy(col("doc_id"))
         .agg(count(col("b")).as("n_boxes"),
@@ -322,7 +323,9 @@ object SparkEntry {
           min(col("b.left")).as("min_left"))
     }),
     "q35_level_mix" -> ((s, _) =>
-      Pipeline.levelMix(Corpus.generate(s, 2000))),
+      // hash-checked against the REFERENCE-executed cascade acceptance
+      // over the same 200-doc corpus (gen_pipeline_expected.py)
+      Pipeline.levelMix(Corpus.generate(s, 200))),
     "q24_tsh_auto" -> ((s, _) =>
       // the FLAGSHIP pipeline, hash-checked against reference-executed
       // expected spans (fixtures/expected_auto_spans.parquet covers the
@@ -373,6 +376,22 @@ object SparkEntry {
     "q27_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
+    "q48_dedup_cascade" -> ((s, d) => {
+      // exact -> near dedup composition: a 500-strong identical cluster
+      // (plus q25's injected near-dups) must collapse in the exact
+      // stage and never reach the LSH join; pairs are among keepers.
+      // Hash-checked against the independent Python implementation
+      // (fixtures/gen_hash_expected.py, pure-Python XXH64)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      val cluster = s.range(500).crossJoin(
+          broadcast(docs.filter(col("doc_id") === 0).select(col("text"))))
+        .select((col("id") + 5000000).as("doc_id"), col("text"))
+      TextOps.dedupCascade(docs.unionByName(dups).unionByName(cluster),
+        col("doc_id"), col("text"))._1
+    }),
     "q28_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
@@ -585,6 +604,17 @@ object SparkEntry {
       ("SELECT doc_id, kind, text, media_ref, \"order\" " +
         "FROM read_parquet('/root/repo/fixtures/expected_auto_spans.parquet')"),
 
+    // level mix: the reference parser + app.py acceptance predicates
+    // executed per level over the same OCR texts (gen_pipeline_expected.py)
+    "q35_level_mix" ->
+      ("SELECT resolved_level, n_docs " +
+        "FROM read_parquet('/root/repo/fixtures/expected_level_mix.parquet')"),
+    // box stats: frozen engine-dump execution (engine-specific content,
+    // so this is a regression oracle rather than an independent one)
+    "q42_ocr_boxes" ->
+      ("SELECT doc_id, n_boxes, max_conf, min_left " +
+        "FROM read_parquet('/root/repo/fixtures/expected_box_stats.parquet')"),
+
     // generic analyte + date entities: expected values produced by an
     // INDEPENDENT Python implementation of the documented semantics over
     // the dumped corpus texts (fixtures/gen_analyte_expected.py)
@@ -594,6 +624,26 @@ object SparkEntry {
     "q44_report_date" ->
       ("SELECT doc_id, report_date, light_date " +
         "FROM read_parquet('/root/repo/fixtures/expected_dates.parquet')"),
+
+    // hash-based analysis queries: expected values from an INDEPENDENT
+    // pure-Python XXH64 + minhash/simhash implementation over the same
+    // documents table (fixtures/gen_hash_expected.py + xxh64.py) — a
+    // genuine cross-implementation check of tokenize/shingle/hash/band
+    "q26_simhash" ->
+      ("SELECT doc_id, simhash " +
+        "FROM read_parquet('/root/repo/fixtures/expected_simhash.parquet')"),
+    "q27_fingerprint" ->
+      ("SELECT doc_id, fp " +
+        "FROM read_parquet('/root/repo/fixtures/expected_fingerprint.parquet')"),
+    "q25_minhash_pairs" ->
+      ("SELECT id_a, id_b, jaccard " +
+        "FROM read_parquet('/root/repo/fixtures/expected_minhash_pairs.parquet')"),
+    "q45_simhash_dedup" ->
+      ("SELECT id_a, id_b, hamming " +
+        "FROM read_parquet('/root/repo/fixtures/expected_simhash_pairs.parquet')"),
+    "q48_dedup_cascade" ->
+      ("SELECT id_a, id_b, jaccard " +
+        "FROM read_parquet('/root/repo/fixtures/expected_dedup_cascade.parquet')"),
 
     // planted exact duplicates: every (i, i+10000) pair and nothing else
     // is >= 0.999 cosine in this corpus (no organic near-identical pair
