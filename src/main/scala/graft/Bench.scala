@@ -7,8 +7,29 @@ import graft.corpus.Corpus
 /** Driver-run benchmark: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and the flagship extraction pipeline on the
   * synthetic corpus; prints ONE JSON line.
+  *
+  * Self-evidencing (two rounds of driver artifacts were distorted by
+  * the host: round 1 by leaked caches — fixed here by measuring the
+  * flagship FIRST in a clean JVM and clearCache per query — round 2 by
+  * a CPU-steal burst landing on the extraction timing): the JSON now
+  * carries per-trial extraction times AND the /proc/stat steal share
+  * observed during each trial, and keeps re-trialing while the trial
+  * spread exceeds 2x (the interleaving lesson from ScalingBench). A
+  * reader can judge the measurement's health from the artifact alone.
   */
 object Bench {
+
+  /** (stealTicks, totalTicks) from the aggregate /proc/stat cpu line. */
+  private def cpuTicks(): (Long, Long) = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Exception => (0L, 0L) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,15 +53,24 @@ object Bench {
     // absorb session/codegen warmup so the first timing isn't charged it
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    // flagship extraction throughput FIRST, in a still-clean JVM (round
-    // 1 measured it last and recorded ~13x under the engine's real rate:
-    // leaked caches + GC/JIT residue from 40+ queries). Best-of-3 — the
-    // host steals CPU in bursts.
+    // flagship extraction throughput FIRST, in a still-clean JVM.
+    // Trials carry their own steal telemetry; keep trialing while the
+    // spread says the host was unstable (best-of over a noisy host
+    // needs the healthy sample to exist).
     val docs = Corpus.generate(spark, benchDocs, skew = true,
       partitions = cpus.toInt * 4)
     Pipeline.extractRows(docs, "auto").count() // warm codegen/JIT
-    val extractSec = (1 to 3)
-      .map(_ => time(Pipeline.extractRows(docs, "auto").count())).min
+    val trials = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    while (trials.size < 3 ||
+        (trials.map(_._1).max / trials.map(_._1).min > 2.0 && trials.size < 8)) {
+      val (s0, t0) = cpuTicks()
+      val sec = time(Pipeline.extractRows(docs, "auto").count())
+      val (s1, t1) = cpuTicks()
+      val stealPct =
+        if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
+      trials += ((sec, stealPct))
+    }
+    val extractSec = trials.map(_._1).min
     val docsPerSec = benchDocs / extractSec
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -57,12 +87,38 @@ object Bench {
       name -> sec
     }
 
+    // audited skew-aware job: per-bucket wall from the audit records —
+    // the round-over-round skew-regression signal (BENCH.md table)
+    val auditDocs = if (heapGb < 2.5) 5000L else 20000L
+    val auditDir =
+      java.nio.file.Files.createTempDirectory("graft-bench-audit").toString
+    val recs = graft.io.ExtractJob.run(spark,
+      Corpus.generate(spark, auditDocs, skew = true,
+        partitions = cpus.toInt * 4),
+      "auto", auditDir, "bench", buckets = 8)
+    val walls = recs.map(_.wall_ms).sorted
+    val (wallP50, wallMax) =
+      if (walls.isEmpty) (0L, 0L) else (walls(walls.length / 2), walls.last)
+    // best-effort temp cleanup (bounded size either way)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(auditDir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Exception => }
+
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.4f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + extractSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""extract_docs":$benchDocs,"extract_sec":$extractSec,""" +
-      s""""extract_docs_per_sec":$docsPerSec,"cpus":$cpus,"sf":"$sfDir"}""")
+      s""""extract_docs_per_sec":$docsPerSec,""" +
+      s""""extract_trials":${arr(trials.map(_._1).toSeq)},""" +
+      s""""extract_steal_pct":${arr(trials.map(_._2).toSeq)},""" +
+      s""""audit_docs":$auditDocs,"audit_buckets":8,""" +
+      s""""audit_bucket_wall_p50_ms":$wallP50,"audit_bucket_wall_max_ms":$wallMax,""" +
+      s""""cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
