@@ -280,8 +280,13 @@ object VectorOps {
     val dcorpus = vecAsDouble(corpus, "embedding")
     for (_ <- 1 to iters) {
       val (dotsOf, bc) = centroidDotsFn(unitNorm(cents), corpus.sparkSession, fused)
-      val assigned = dcorpus.select(col("embedding"),
-        explode_outer(cellKeys(dotsOf(col("embedding")), 1)).as("cell"))
+      // stage the dots as a named column: cellKeys references its input
+      // twice (zip_with + size), and an inlined subtree would compute
+      // the k-centroid dots twice per row
+      val assigned = dcorpus
+        .withColumn("__dots", dotsOf(col("embedding")))
+        .select(col("embedding"),
+          explode_outer(cellKeys(col("__dots"), 1)).as("cell"))
       val stats = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
@@ -323,12 +328,18 @@ object VectorOps {
     // one broadcast serves both sides; it lives as long as the returned
     // plan may execute, so no unpersist here (Spark GCs it with the ref)
     val (dotsOf, _) = centroidDotsFn(cents, corpus.sparkSession, fused)
+    // dots staged as a named column (cellKeys reads its input twice —
+    // zip_with + size; inlining would double the per-row dot cost)
     val c = vecAsDouble(corpus, "embedding")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
-      .withColumn("cell", explode_outer(cellKeys(dotsOf(col("c_vec")), 1)))
+      .withColumn("__dots", dotsOf(col("c_vec")))
+      .withColumn("cell", explode_outer(cellKeys(col("__dots"), 1)))
+      .drop("__dots")
     val q = vecAsDouble(queries, "embedding")
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-      .withColumn("cell", explode_outer(cellKeys(dotsOf(col("q_vec")), nProbe)))
+      .withColumn("__dots", dotsOf(col("q_vec")))
+      .withColumn("cell", explode_outer(cellKeys(col("__dots"), nProbe)))
+      .drop("__dots")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, Seq("cell"))
