@@ -111,14 +111,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + extractSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""extract_docs":$benchDocs,"extract_sec":$extractSec,""" +
       s""""extract_docs_per_sec":$docsPerSec,""" +
       s""""extract_trials":${arr(trials.map(_._1).toSeq)},""" +
       s""""extract_steal_pct":${arr(trials.map(_._2).toSeq)},""" +
       s""""audit_docs":$auditDocs,"audit_buckets":8,""" +
       s""""audit_bucket_wall_p50_ms":$wallP50,"audit_bucket_wall_max_ms":$wallMax,""" +
-      s""""cpus":$cpus,"sf":"$sfDir"}""")
+      s""""cpus":$cpus,"sf":"$sfDir"}"""
+    println(json)
+    // also drop the bare line next to the repo artifacts: the driver's
+    // sbt-wrapped capture prefixes stdout with [info], which has broken
+    // its JSON parse before (BENCH_r02.json: "parsed": null)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_LATEST.json")),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => }
     spark.stop()
   }
 }

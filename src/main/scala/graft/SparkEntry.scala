@@ -376,6 +376,12 @@ object SparkEntry {
     "q27_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
+    "q49_curation" -> ((s, d) =>
+      // end-to-end curation hygiene pass: language gate + quality window
+      // + exact-dedup keeper — fully SQL-expressible, so the whole
+      // composition is cross-engine hash-checked
+      TextOps.curationFilter(t(s, d, "documents"),
+        col("doc_id"), col("text"))),
     "q48_dedup_cascade" -> ((s, d) => {
       // exact -> near dedup composition: a 500-strong identical cluster
       // (plus q25's injected near-dups) must collapse in the exact
@@ -624,6 +630,27 @@ object SparkEntry {
     "q44_report_date" ->
       ("SELECT doc_id, report_date, light_date " +
         "FROM read_parquet('/root/repo/fixtures/expected_dates.parquet')"),
+
+    "q49_curation" ->
+      ("SELECT doc_id, lang_pred, n_tokens, punct_ratio FROM (" +
+        "SELECT doc_id, text, lang_pred, n_tokens, punct_ratio, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM (" +
+        "SELECT doc_id, text, CASE " +
+        "WHEN s_es > greatest(s_en, s_fr, s_de) THEN 'es' " +
+        "WHEN s_de > greatest(s_en, s_fr) THEN 'de' " +
+        "WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS lang_pred, " +
+        "n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars " +
+        "ELSE 0.0 END AS punct_ratio FROM (" +
+        "SELECT doc_id, text, length(text) AS n_chars, " +
+        "len(regexp_extract_all(lower(text), '[\\p{L}0-9'']+')) AS n_tokens, " +
+        "len(regexp_extract_all(text, '[^\\p{L}0-9\\s]')) AS n_punct, " +
+        "len(regexp_extract_all(lower(text), '\\b(?:the|and|of|is|was)\\b')) AS s_en, " +
+        "len(regexp_extract_all(lower(text), '\\b(?:le|la|les|des|est|une)\\b')) AS s_fr, " +
+        "len(regexp_extract_all(lower(text), '\\b(?:der|die|das|und|ist)\\b')) AS s_de, " +
+        "len(regexp_extract_all(lower(text), '\\b(?:el|los|las|es|una)\\b')) AS s_es " +
+        "FROM documents)) " +
+        "WHERE lang_pred = 'en' AND n_tokens >= 30 AND punct_ratio <= 0.2" +
+        ") WHERE rn = 1"),
 
     // hash-based analysis queries: expected values from an INDEPENDENT
     // pure-Python XXH64 + minhash/simhash implementation over the same

@@ -266,6 +266,29 @@ object TextOps {
       p => coalesce(array_min(transform(hs, h => xxhash64(p, h))),
         lit(Long.MaxValue)))
 
+  // ---- curation filter (the pre-training hygiene pass) ----------------
+  /** Language gate + quality-ratio window + exact-dedup keeper in one
+    * composition: ONE map-side projection computes every feature, the
+    * filter drops rejects before anything shuffles, and the only
+    * shuffle is the exact-dedup key — the shape a 100 TB curation job
+    * takes before the near-dup stage ([[dedupCascade]]) runs on what
+    * survives. Returns the kept docs with their features
+    * (doc_id, lang_pred, n_tokens, punct_ratio).
+    */
+  def curationFilter(docs: DataFrame, id: Column, text: Column,
+      lang: String = "en", minTokens: Int = 30,
+      maxPunctRatio: Double = 0.2): DataFrame = {
+    val staged = docs.select(id.as("doc_id"), text.as("text"))
+      .withColumn("f", qualityFeatures(col("text")))
+      .withColumn("lang_pred", langIdBest(col("text")))
+      .select(col("doc_id"), col("text"), col("lang_pred"),
+        col("f.n_tokens").as("n_tokens"),
+        col("f.punct_ratio").as("punct_ratio"))
+      .filter(col("lang_pred") === lang && col("n_tokens") >= minTokens &&
+        col("punct_ratio") <= maxPunctRatio)
+    dedupExact(staged, col("text"), col("doc_id")).drop("text")
+  }
+
   // ---- exact -> near dedup composition --------------------------------
   /** The standard web-scale dedup cascade: collapse EXACT duplicates
     * first (one keyed aggregation on a text hash), then run the MinHash
