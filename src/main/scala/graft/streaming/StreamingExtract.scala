@@ -68,4 +68,71 @@ object StreamingExtract {
           else { state.update(true); rows.take(1) }
       }
   }
+
+  /** documents-table-shaped stream input (doc_id, text). */
+  val textDocsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Streaming MinHash-LSH NEAR-dup detection — the continuous form of
+    * `TextOps.minhashDupPairs`: signatures and band keys are the same
+    * map-side fused expressions; the banded self-join becomes PER-BUCKET
+    * CUSTOM STATE (`flatMapGroupsWithState` keyed by (band, bucket)).
+    * Each bucket stores at most `maxPerBucket` (doc_id, signature)
+    * entries — the streaming analog of the batch path's hot-bucket
+    * bound, and what keeps state O(buckets * cap) no matter how hot a
+    * bucket runs. An arriving doc is compared against its bucket's
+    * stored signatures by estimated Jaccard (matching signature slots /
+    * m — the standard MinHash estimator; the stream cannot keep full
+    * shingle sets): a hit emits (doc_id, dup_of, est_jaccard) and the
+    * dup is NOT stored (the first-seen keeper stays, like
+    * first-seen-wins exact dedup); a miss is stored if the bucket has
+    * room. A doc colliding with the same keeper in several bands emits
+    * once per band — consumers dedupe by (doc_id, dup_of), exactly as
+    * the batch path dropDuplicates before its rerank.
+    *
+    * Determinism: rows within a (bucket, micro-batch) are processed in
+    * doc_id order (the per-bucket batch is buffered — bounded by the
+    * micro-batch, not the stream). Re-ingests of a stored keeper are
+    * dropped silently. Compose exact dedup upstream for the same reason
+    * the batch cascade does.
+    */
+  def nearDupStream(spark: SparkSession, inDir: String, n: Int = 3,
+      m: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5,
+      maxPerBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.analysis.{MinhashSignature, ShingleHashes, TextOps}
+    val keyed = spark.readStream.schema(textDocsSchema).parquet(inDir)
+      .withColumn("hs", ShingleHashes.of(TextOps.tokens(col("text")), n))
+      .withColumn("sig", MinhashSignature.of(col("hs"), m))
+      .withColumn("bk", explode_outer(TextOps.lshBandKeys(col("sig"), m, bands)))
+      .select(col("bk.band"), col("bk.bucket"), col("doc_id"), col("sig"))
+      .as[(Int, Long, Long, Seq[Long])]
+    keyed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[List[(Long, Seq[Long])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Double)]
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            if (!seen.exists(_._1 == id)) { // keeper re-ingest: silent drop
+              val best = seen.iterator.map { case (sid, ssig) =>
+                val matches = sig.iterator.zip(ssig.iterator)
+                  .count { case (a, b) => a == b }
+                (sid, matches.toDouble / m)
+              }.filter(_._2 >= minEstJaccard)
+                .reduceOption((a, b) =>
+                  if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+              best match {
+                case Some((sid, est)) => out += ((id, sid, est))
+                case None =>
+                  if (seen.size < maxPerBucket) seen = seen :+ ((id, sig))
+              }
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }.toDF("doc_id", "dup_of", "est_jaccard")
+  }
 }

@@ -54,4 +54,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.size == 100, s"expected 100 unique, got ${ids.size}")
     assert(ids.distinct.size == 100)
   }
+
+  test("streaming near-dup: injected dups flagged across micro-batches, state bounded") {
+    val dir = Files.createTempDirectory("graft-sneardup").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50).cache()
+    // batch 1: 50 base docs (the keepers)
+    docs.write.parquet(s"$dir/in/b1")
+    val q = StreamingExtract.nearDupStream(spark, s"$dir/in/*")
+      .writeStream.format("memory").queryName("graft_neardup_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: near-dups of docs 0-19 (+100000, ' zz'), re-ingest of
+      // keepers 0-4, and a 200-strong identical clone set of doc 0's
+      // text (+500000..) that must all resolve against ONE keeper
+      val dups = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      val reingest = docs.filter(col("doc_id") < 5)
+      val clones = spark.range(200).crossJoin(
+          broadcast(docs.filter(col("doc_id") === 0).select(col("text"))))
+        .select((col("id") + 500000).as("doc_id"), col("text"))
+      dups.unionByName(reingest).unionByName(clones).write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val pairs = spark.table("graft_neardup_out")
+      .select("doc_id", "dup_of", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    val flagged = pairs.map(p => (p._1, p._2)).distinct
+    // every injected near-dup resolves against its keeper
+    (0L until 20L).foreach { i =>
+      assert(flagged.contains((i + 100000, i)), s"missed streaming near-dup $i")
+    }
+    // every identical clone resolves against doc 0 at estimate 1.0
+    val cloneHits = pairs.filter(_._1 >= 500000)
+    assert(cloneHits.map(_._1).distinct.size == 200, "missed identical clones")
+    cloneHits.foreach { case (id, of, est) =>
+      assert(of == 0L && est == 1.0, s"clone $id resolved to ($of, $est)")
+    }
+    // re-ingested stored keepers never match THEMSELVES (self-matches
+    // are dropped; organic sub-1.0 near-dup pairs among the random base
+    // docs are legitimate LSH output and allowed)
+    assert(!pairs.exists(p => p._1 < 50 && p._3 == 1.0),
+      "a re-ingested keeper re-emitted as its own duplicate")
+    pairs.foreach(p => assert(p._3 >= 0.5 && p._3 <= 1.0))
+  }
 }
