@@ -126,6 +126,24 @@ object BinaryOps {
     }
   }
 
+  /** Multimodal near-dup: frame features feed the SAME sign-LSH
+    * bucketed cosine self-join the text-embedding path uses — including
+    * its hot-bucket bound (VectorOps.cosineDupPairs). Mirrored or
+    * re-hosted media decode to identical payload bytes, so their frame
+    * features are identical and every copy is caught with certainty;
+    * near-copies (re-encodes) land by cosine once a real codec supplies
+    * real features. Frame identity is "media_ref#frame_idx".
+    */
+  def frameDupPairs(assets: Dataset[Asset], minCos: Double = 0.999,
+      maxFrames: Int = 4, dim: Int = 16,
+      maxBucket: Int = 4096): DataFrame = {
+    val frames = sampleFrames(assets, maxFrames, dim).toDF()
+      .select(concat(col("media_ref"), lit("#"), col("frame_idx")).as("vec_id"),
+        col("feature").as("embedding"))
+    graft.analysis.VectorOps.cosineDupPairs(frames, minCos,
+      maxBucket = maxBucket)
+  }
+
   /** Full demo: corpus -> assets -> decode + frame features, joined. */
   def mediaPipeline(spark: SparkSession, nDocs: Long): DataFrame = {
     val assets = assetsFor(Corpus.generate(spark, nDocs)).cache()

@@ -48,6 +48,23 @@ class BinaryOpsSpec extends AnyFunSuite {
     assert(f1.toSeq == f2.toSeq)
   }
 
+  test("multimodal near-dup: copied payloads caught frame-for-frame with certainty") {
+    // plant copies: same payload bytes under a new ref — identical
+    // features per frame, so every (orig#idx, copy#idx) pair must appear
+    val copies = assets.map(a => a.copy(media_ref = a.media_ref + "~copy"))
+    val pairs = BinaryOps.frameDupPairs(assets.union(copies), minCos = 0.999)
+      .as[(String, String, Double)].collect().toSeq
+    val nFrames = BinaryOps.sampleFrames(assets).count()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(found.size == nFrames,
+      s"expected exactly $nFrames copy pairs, got ${found.size}")
+    pairs.foreach { case (a, b, cos) =>
+      // pair ids differ only by the ~copy marker, same frame index
+      assert(a.replace("~copy", "") == b.replace("~copy", ""), s"($a, $b)")
+      assert(cos > 0.999)
+    }
+  }
+
   test("resize keeps non-images untouched and shrinks image payload bound") {
     val resized = BinaryOps.resizeImages(assets, maxSide = 64).cache()
     val joined = assets.as("a").join(resized.as("r"), "media_ref")
