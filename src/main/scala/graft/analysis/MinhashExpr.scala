@@ -2,7 +2,7 @@ package graft.analysis
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -22,17 +22,31 @@ import org.apache.spark.sql.types._
   * equality, so band keys built on top are byte-identical either way.
   */
 case class MinhashSignature(child: Expression, m: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+
+  /** Real codegen (not CodegenFallback, which would re-evaluate the
+    * whole child subtree interpreted): the child stays inside
+    * whole-stage codegen and hands its unboxed value to the compiled
+    * core below.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("minhashSig", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalCore($c);"
+    })
 
   // per-permutation seeds hoisted out of the row loop
   @transient private lazy val permSeed: Array[Long] =
     Array.tabulate(m)(p => XXH64.hashInt(p, 42L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalCore(input.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(hs: ArrayData): GenericArrayData = {
     val n = hs.numElements()
     val sig = Array.fill(m)(Long.MaxValue)
     var i = 0
@@ -76,16 +90,30 @@ object MinhashSignature {
   * by a cross-validation test.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import org.apache.spark.unsafe.types.UTF8String
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
+  /** Real codegen (not CodegenFallback, which would re-evaluate the
+    * whole child subtree interpreted): the child stays inside
+    * whole-stage codegen and hands its unboxed value to the compiled
+    * core below.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("shingleHashes", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalCore($c);"
+    })
+
   @transient private lazy val sep = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalCore(input.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(toks: ArrayData): GenericArrayData = {
     val len = toks.numElements()
     if (len < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -132,13 +160,27 @@ object ShingleHashes {
   * input -> 0L. Cross-validated byte-identical by test.
   */
 case class Simhash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
+  /** Real codegen (not CodegenFallback, which would re-evaluate the
+    * whole child subtree interpreted): the child stays inside
+    * whole-stage codegen and hands its unboxed value to the compiled
+    * core below.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("simhash64", this)
+      s"${ev.value} = $ref.evalCore($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any =
+    evalCore(input.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(hs: ArrayData): Long = {
     val n = hs.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -182,14 +224,28 @@ object Simhash64 {
   * Cross-validated byte-identical by test.
   */
 case class SignProjections(child: Expression, nPlanes: Int, tables: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
   override def prettyName: String = "sign_projections"
 
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
+  /** Real codegen (not CodegenFallback, which would re-evaluate the
+    * whole child subtree interpreted): the child stays inside
+    * whole-stage codegen and hands its unboxed value to the compiled
+    * core below.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("signProjections", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalCore($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any =
+    evalCore(input.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(vec: ArrayData): GenericArrayData = {
     val dim = vec.numElements()
     val out = new Array[Any](tables)
     var t = 0
@@ -240,7 +296,7 @@ object SignProjections {
   */
 case class BroadcastDotProducts(child: Expression,
     mats: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "broadcast_dot_products"
@@ -248,8 +304,23 @@ case class BroadcastDotProducts(child: Expression,
   // resolved once per executor JVM from the block manager
   @transient private lazy val m: Array[Array[Double]] = mats.value
 
-  override def nullSafeEval(vecAny: Any): Any = {
-    val vec = vecAny.asInstanceOf[ArrayData]
+
+  /** Real codegen (not CodegenFallback, which would re-evaluate the
+    * whole child subtree interpreted): the child stays inside
+    * whole-stage codegen and hands its unboxed value to the compiled
+    * core below.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("bcastDots", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalCore($c);"
+    })
+
+  override def nullSafeEval(vecAny: Any): Any =
+    evalCore(vecAny.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(vec: ArrayData): GenericArrayData = {
     val out = new Array[Double](m.length)
     var i = 0
     while (i < m.length) {

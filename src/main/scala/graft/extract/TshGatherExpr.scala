@@ -5,7 +5,7 @@ import java.util.regex.Pattern
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -33,10 +33,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * key (G2/G3 + quirk Q7).
   */
 case class TshGatherCandidates(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = TshGatherCandidates.schema
   override def prettyName: String = "tsh_gather_candidates"
+
+  /** Real codegen, not CodegenFallback: the fallback would evaluate the
+    * WHOLE subtree (child included) interpreted; this keeps the child
+    * inside whole-stage codegen and hands its unboxed UTF8String to the
+    * compiled gather core.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("tshGather", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.evalCore($c);"
+    })
 
   @transient private lazy val labelRe = Pattern.compile(TshPatterns.Label)
   @transient private lazy val numRe = Pattern.compile(TshPatterns.Num)
@@ -85,8 +97,14 @@ case class TshGatherCandidates(child: Expression)
       value, if (unit == null) null else UTF8String.fromString(unit),
       refMin, refMax, UTF8String.fromString(label)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    evalCore(input.asInstanceOf[UTF8String])
+
+  /** Shared by the interpreted path and generated code (public: called
+    * from janino-compiled classes).
+    */
+  def evalCore(input: UTF8String): GenericArrayData = {
+    val raw = input.toString
     // N1 normalize
     val norm = nlRe.matcher(
       wsRe.matcher(raw.replace('\r', '\n')).replaceAll(" ")).replaceAll("\n")
