@@ -346,3 +346,74 @@ object BroadcastDotProducts {
     Bridge.column(BroadcastDotProducts(Bridge.expression(vec), mats))
   }
 }
+
+/** Fused cosine similarity — the exact-rerank hot loop shared by
+  * brute-force top-k, LSH/IVF ANN and the cosine dup join. One compiled
+  * pass computes dot(a,b), |a|, |b| together; the HOF twin
+  * (`VectorOps.cosineHof`) pays three interpreted `aggregate(zip_with)`
+  * walks plus an intermediate array per pair.
+  *
+  * Floating-point AND null semantics replicate the HOF form exactly
+  * (cross-validated; the q23 DuckDB oracle and the ANN == brute-force
+  * float-equality tests depend on it):
+  *  - sums accumulate left-to-right (same IEEE result as `aggregate`);
+  *  - any null ELEMENT nulls a norm -> the `when(d > 0, ...)` guard
+  *    falls through to 0.0;
+  *  - unequal lengths null the zip_with dot -> null when d > 0, else 0.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val ref = ctx.addReferenceObj("cosineSim", this)
+      s"""
+         |Object cosRes = $ref.evalCore($l, $r);
+         |if (cosRes == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Double) cosRes).doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalCore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return 0.0d; i += 1 }
+    i = 0
+    while (i < m) { if (b.isNullAt(i)) return 0.0d; i += 1 }
+    var na = 0.0d
+    i = 0
+    while (i < n) { val x = a.getDouble(i); na += x * x; i += 1 }
+    var nb = 0.0d
+    i = 0
+    while (i < m) { val y = b.getDouble(i); nb += y * y; i += 1 }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (n != m) return if (d > 0) null else java.lang.Double.valueOf(0.0d)
+    var dot = 0.0d
+    i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(if (d > 0) dot / d else 0.0d)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  def of(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  }
+}

@@ -32,7 +32,14 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Exact cosine — fused one-pass expression by default (CosineSim);
+    * the HOF twin below is float- AND null-identical (cross-validated),
+    * like every other fused/HOF pair in this module.
+    */
+  def cosine(a: Column, b: Column, fused: Boolean = true): Column =
+    if (fused) CosineSim.of(a, b) else cosineHof(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d > 0, dot(a, b) / d).otherwise(0.0)
   }
@@ -43,12 +50,13 @@ object VectorOps {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "vec_id", qVec: String = "embedding",
-      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+      cId: String = "vec_id", cVec: String = "embedding",
+      fused: Boolean = true): DataFrame = {
     val q = vecAsDouble(queries, qVec).select(col(qId).as("query_id"), col(qVec).as("q_vec"))
     val c = vecAsDouble(corpus, cVec).select(col(cId).as("neighbor_id"), col(cVec).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec"), fused))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -184,7 +192,7 @@ object VectorOps {
       // several tables/probes pays ONE cosine, not one per collision
       // (the vectors ride along; they are identical per pair)
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec"), fused))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -218,7 +226,7 @@ object VectorOps {
     a.join(b, Seq("table", "bucket", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b"), fused).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -345,7 +353,7 @@ object VectorOps {
     q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec"), fused))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))

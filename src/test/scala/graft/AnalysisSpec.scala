@@ -259,6 +259,35 @@ class AnalysisSpec extends AnyFunSuite {
       s"fused IVF plan embeds centroid literal $marker")
   }
 
+  test("fused CosineSim == HOF cosine: float- and null-identical") {
+    val emb = spark.read.parquet(s"$docsPath/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("a"))
+      .withColumn("b", reverse(col("a")))
+    val both = emb.select(
+      VectorOps.cosine(col("a"), col("b")).as("fused"),
+      VectorOps.cosineHof(col("a"), col("b")).as("hof"),
+      VectorOps.cosine(col("a"), col("a")).as("self_f"),
+      VectorOps.cosineHof(col("a"), col("a")).as("self_h"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (f, h, sf, sh) =>
+      assert(f == h, s"cosine mismatch: $f != $h") // bit-identical, not ~=
+      assert(sf == sh && math.abs(sf - 1.0) < 1e-12)
+    }
+    // edge cases: zero vector -> 0.0; null element -> 0.0 (both paths)
+    val edge = spark.sql(
+      """SELECT array(0.0d, 0.0d) AS z, array(1.0d, 2.0d) AS v,
+        |       array(1.0d, CAST(NULL AS double)) AS nv""".stripMargin)
+    val e = edge.select(
+      VectorOps.cosine(col("z"), col("v")).as("f1"),
+      VectorOps.cosineHof(col("z"), col("v")).as("h1"),
+      VectorOps.cosine(col("nv"), col("v")).as("f2"),
+      VectorOps.cosineHof(col("nv"), col("v")).as("h2"))
+      .as[(Double, Double, Double, Double)].head()
+    assert(e._1 == 0.0 && e._1 == e._2)
+    assert(e._3 == 0.0 && e._3 == e._4)
+  }
+
   test("fused SignProjections == HOF path: identical ANN results") {
     val emb = spark.read.parquet(s"$docsPath/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
