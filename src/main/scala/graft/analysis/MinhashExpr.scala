@@ -371,12 +371,16 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
       val ref = ctx.addReferenceObj("cosineSim", this)
+      // freshName: with a non-nullable child the generated snippet is
+      // emitted inline (no block scope), so a fixed local name would
+      // collide when two CosineSim calls share one generated method
+      val res = ctx.freshName("cosRes")
       s"""
-         |Object cosRes = $ref.evalCore($l, $r);
-         |if (cosRes == null) {
+         |Object $res = $ref.evalCore($l, $r);
+         |if ($res == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = ((java.lang.Double) cosRes).doubleValue();
+         |  ${ev.value} = ((java.lang.Double) $res).doubleValue();
          |}
        """.stripMargin
     })
