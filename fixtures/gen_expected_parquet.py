@@ -32,6 +32,19 @@ def main():
     print(f"wrote {len(rows)} span rows "
           f"({sum(1 for e in golden if e['mode'] == 'auto')} docs) to {out}")
 
+    # q41: confidence/error class counts over the same auto spans (the
+    # map-typed-column query reduces to exactly this aggregation)
+    counts = {}
+    for (_, kind, text, _, _) in rows:
+        if kind in ("confidence", "error"):
+            counts[(kind, text)] = counts.get((kind, text), 0) + 1
+    con.execute("CREATE TABLE c (kind VARCHAR, text VARCHAR, n BIGINT)")
+    con.executemany("INSERT INTO c VALUES (?, ?, ?)",
+                    [(k, t, n) for (k, t), n in sorted(counts.items())])
+    out_c = f"{HERE}/expected_span_class_counts.parquet"
+    con.execute(f"COPY c TO '{out_c}' (FORMAT PARQUET)")
+    print(f"wrote {len(counts)} class-count rows to {out_c}")
+
 
 if __name__ == "__main__":
     main()

@@ -278,7 +278,9 @@ object SparkEntry {
             .as("p50_price"))),
     "q41_map_ops" -> ((s, _) => {
       // map-typed columns over the extraction output: error-class counts
-      val spansDf = Pipeline.extract(Corpus.generate(s, 1000), "auto")
+      // over the 200-doc fixture corpus — hash-checked against the
+      // reference-executed golden spans (gen_expected_parquet.py)
+      val spansDf = Pipeline.extract(Corpus.generate(s, 200), "auto")
       spansDf.select(
         map_from_entries(transform(col("spans"),
           sp => struct(sp("kind"), sp("text")))).as("m"))
@@ -609,6 +611,24 @@ object SparkEntry {
     "q24_tsh_auto" ->
       ("SELECT doc_id, kind, text, media_ref, \"order\" " +
         "FROM read_parquet('/root/repo/fixtures/expected_auto_spans.parquet')"),
+
+    // ANN queries: deterministic given the embeddings table (xxh64
+    // hyperplanes, corpus-sample centroids) — expected sets from an
+    // independent Python mirror of bucketing/probing/cells + exact
+    // cosine rerank (fixtures/gen_ann_expected.py)
+    "q28_ann_lsh" ->
+      ("SELECT query_id, neighbor_id, rank " +
+        "FROM read_parquet('/root/repo/fixtures/expected_ann_lsh.parquet')"),
+    "q47_ann_ivf" ->
+      ("SELECT query_id, neighbor_id, rank " +
+        "FROM read_parquet('/root/repo/fixtures/expected_ann_ivf.parquet')"),
+
+    // map-ops over extraction spans: the aggregation reduces to
+    // confidence/error class counts — derived from the same
+    // reference-executed golden spans as q24
+    "q41_map_ops" ->
+      ("SELECT kind, text, n FROM read_parquet(" +
+        "'/root/repo/fixtures/expected_span_class_counts.parquet')"),
 
     // level mix: the reference parser + app.py acceptance predicates
     // executed per level over the same OCR texts (gen_pipeline_expected.py)
