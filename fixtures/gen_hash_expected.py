@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Independent (pure-Python, see xxh64.py) implementation of the
 hash-based analysis queries, producing expected parquet the driver's
-DuckDB oracle can hash-compare — converting q25/q26/q27/q45/q48 from
+DuckDB oracle can hash-compare — converting q25/q26/q27/q45/q48/q50 from
 `no_oracle` rows-only checks into genuine cross-implementation checks.
 
 Inputs are the SAME tables the queries read: documents.parquet at the
@@ -16,6 +16,8 @@ Writes (all under fixtures/):
     expected_minhash_pairs.parquet  (id_a, id_b, jaccard)    for q25
     expected_simhash_pairs.parquet  (id_a, id_b, hamming)    for q45
     expected_dedup_cascade.parquet  (id_a, id_b, jaccard)    for q48
+    expected_curate.parquet   (doc_id, lang_pred, n_tokens,
+                               punct_ratio)                   for q50
 
 Mirrored semantics (kept in lockstep with graft.analysis.TextOps — the
 constants here ARE the spec):
@@ -143,6 +145,51 @@ def write(con, name, ddl, rows):
     print(f"wrote {len(rows):6d} rows to {name}.parquet")
 
 
+# ---- curation mirror (q50) -------------------------------------------
+# Java-exact \s class (ASCII whitespace; Python's unicode \s would also
+# eat NBSP — the corpus is ASCII so both agree, but mirror exactly)
+PUNCT_RE = regex.compile(r"[^\p{L}0-9 \t\n\x0B\f\r]")
+LANG_RES = [
+    ("en", regex.compile(r"\b(?:the|and|of|is|was)\b")),
+    ("fr", regex.compile(r"\b(?:le|la|les|des|est|une)\b")),
+    ("de", regex.compile(r"\b(?:der|die|das|und|ist)\b")),
+    ("es", regex.compile(r"\b(?:el|los|las|es|una)\b")),
+]
+
+
+def lang_pred(text):
+    low = text.lower()
+    best_l, best_s = LANG_RES[0][0], len(LANG_RES[0][1].findall(low))
+    for l, r in LANG_RES[1:]:
+        s = len(r.findall(low))
+        if s > best_s:  # strict: declaration-order tiebreak like langIdBest
+            best_l, best_s = l, s
+    return best_l
+
+
+def curate(docs, lang="en", min_tokens=30, max_punct=0.2, min_jaccard=0.5):
+    """Mirror of TextOps.curate: returns kept rows
+    (doc_id, lang_pred, n_tokens, punct_ratio)."""
+    staged = {}
+    for i, t in docs.items():
+        n_tok = len(tokens(t))
+        n_chars = len(t)
+        n_punct = len(PUNCT_RE.findall(t))
+        pr = n_punct / n_chars if n_chars > 0 else 0.0
+        lp = lang_pred(t)
+        if lp == lang and n_tok >= min_tokens and pr <= max_punct:
+            staged[i] = (t, lp, n_tok, pr)
+    # exact collapse on the text itself, min-id keeper
+    by_text = {}
+    for i in sorted(staged):
+        by_text.setdefault(staged[i][0], i)
+    keepers = {i: staged[i][0] for i in by_text.values()}
+    # near-dup drop: higher id of each pair
+    dropped = {max(a, b) for a, b, _ in minhash_pairs(keepers, min_jaccard)}
+    return sorted((i, staged[i][1], staged[i][2], staged[i][3])
+                  for i in keepers if i not in dropped)
+
+
 def main(sf_dir):
     con = duckdb.connect()
     base = dict(con.execute(
@@ -183,6 +230,15 @@ def main(sf_dir):
     keepers = {min(ids): q48[min(ids)] for ids in groups.values()}
     write(con, "expected_dedup_cascade",
           "id_a BIGINT, id_b BIGINT, jaccard DOUBLE", minhash_pairs(keepers))
+
+    # q50: the complete curation pass over base + near-dups + a
+    # 100-clone cluster of doc 1's text
+    q50 = dict(q25)
+    for i in range(100):
+        q50[6000000 + i] = base[1]
+    write(con, "expected_curate",
+          "doc_id BIGINT, lang_pred VARCHAR, n_tokens INTEGER, punct_ratio DOUBLE",
+          curate(q50))
 
 
 if __name__ == "__main__":

@@ -384,6 +384,21 @@ object SparkEntry {
       // composition is cross-engine hash-checked
       TextOps.curationFilter(t(s, d, "documents"),
         col("doc_id"), col("text"))),
+    "q50_curate_full" -> ((s, d) => {
+      // the COMPLETE curation pass (filter -> exact collapse -> near-dup
+      // drop) over base docs + injected near-dups + a 100-clone cluster;
+      // kept set hash-checked against the independent Python mirror
+      // (fixtures/gen_hash_expected.py)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      val clones = s.range(100).crossJoin(
+          broadcast(docs.filter(col("doc_id") === 1).select(col("text"))))
+        .select((col("id") + 6000000).as("doc_id"), col("text"))
+      TextOps.curate(docs.unionByName(dups).unionByName(clones),
+        col("doc_id"), col("text"))._1
+    }),
     "q48_dedup_cascade" -> ((s, d) => {
       // exact -> near dedup composition: a 500-strong identical cluster
       // (plus q25's injected near-dups) must collapse in the exact
@@ -691,6 +706,9 @@ object SparkEntry {
     "q48_dedup_cascade" ->
       ("SELECT id_a, id_b, jaccard " +
         "FROM read_parquet('/root/repo/fixtures/expected_dedup_cascade.parquet')"),
+    "q50_curate_full" ->
+      ("SELECT doc_id, lang_pred, n_tokens, punct_ratio " +
+        "FROM read_parquet('/root/repo/fixtures/expected_curate.parquet')"),
 
     // planted exact duplicates: every (i, i+10000) pair and nothing else
     // is >= 0.999 cosine in this corpus (no organic near-identical pair

@@ -277,8 +277,16 @@ object TextOps {
     */
   def curationFilter(docs: DataFrame, id: Column, text: Column,
       lang: String = "en", minTokens: Int = 30,
-      maxPunctRatio: Double = 0.2): DataFrame = {
-    val staged = docs.select(id.as("doc_id"), text.as("text"))
+      maxPunctRatio: Double = 0.2): DataFrame =
+    dedupExact(curationStage(docs, id, text, lang, minTokens, maxPunctRatio),
+      col("text"), col("doc_id")).drop("text")
+
+  /** Hygiene filter with the text column kept (shared by curationFilter
+    * and the full curate() composition).
+    */
+  private def curationStage(docs: DataFrame, id: Column, text: Column,
+      lang: String, minTokens: Int, maxPunctRatio: Double): DataFrame =
+    docs.select(id.as("doc_id"), text.as("text"))
       .withColumn("f", qualityFeatures(col("text")))
       .withColumn("lang_pred", langIdBest(col("text")))
       .select(col("doc_id"), col("text"), col("lang_pred"),
@@ -286,7 +294,30 @@ object TextOps {
         col("f.punct_ratio").as("punct_ratio"))
       .filter(col("lang_pred") === lang && col("n_tokens") >= minTokens &&
         col("punct_ratio") <= maxPunctRatio)
-    dedupExact(staged, col("text"), col("doc_id")).drop("text")
+
+  /** The COMPLETE curation pass a pre-training corpus takes, composed:
+    * hygiene filter (map-side) -> exact-dup collapse (one keyed window)
+    * -> MinHash near-dup join over keepers (banded, hot-bucket-bounded)
+    * -> near-dup drop. Drop policy: the HIGHER id of each near pair is
+    * dropped (the standard deterministic single-pass keeper rule;
+    * chains resolve because every non-minimal member of a near-dup
+    * cluster pairs with some lower id via the same bands — the pair set
+    * is also returned for graph-based grouping where exactness
+    * matters). Returns (kept: (doc_id, lang_pred, n_tokens,
+    * punct_ratio), nearPairs: (id_a, id_b, jaccard)).
+    */
+  def curate(docs: DataFrame, id: Column, text: Column,
+      lang: String = "en", minTokens: Int = 30, maxPunctRatio: Double = 0.2,
+      n: Int = 3, m: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
+      maxBucket: Int = 4096): (DataFrame, DataFrame) = {
+    val staged = curationStage(docs, id, text, lang, minTokens, maxPunctRatio)
+    val keepers = dedupExact(staged, col("text"), col("doc_id"))
+    val pairs = minhashDupPairs(keepers, col("doc_id"), col("text"),
+      n, m, bands, minJaccard, maxBucket)
+    val dropIds = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+    val kept = keepers.join(dropIds, Seq("doc_id"), "left_anti").drop("text")
+    (kept, pairs)
   }
 
   // ---- exact -> near dedup composition --------------------------------
