@@ -389,6 +389,34 @@ class AnalysisSpec extends AnyFunSuite {
       "a collapsed exact-dup member leaked into the near-dup join")
   }
 
+  test("curate: full pass drops clones and near-dups, keeps quality keepers") {
+    val base = documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 60)
+    val dups = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val clones = spark.range(50).crossJoin(
+        broadcast(base.filter(col("doc_id") === 1).select(col("text"))))
+      .select((col("id") + 700000).as("doc_id"), col("text"))
+    val (kept, pairs) = TextOps.curate(
+      base.unionByName(dups).unionByName(clones), col("doc_id"), col("text"))
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    // every clone collapses onto its base keeper in the exact stage
+    assert(!keptIds.exists(_ >= 700000), "a clone survived the exact collapse")
+    // drop policy: the higher id of every near pair is gone from kept
+    val dropIds = pairs.select(greatest(col("id_a"), col("id_b")))
+      .as[Long].collect().toSet
+    assert(dropIds.nonEmpty, "no near pairs found (vacuous test)")
+    assert(dropIds.intersect(keptIds).isEmpty,
+      s"near-dup drop ids leaked into kept: ${dropIds.intersect(keptIds)}")
+    // kept rows satisfy the hygiene constraints they were filtered by
+    val feats = kept.select("n_tokens", "lang_pred", "punct_ratio")
+      .as[(Int, String, Double)].collect()
+    feats.foreach { case (nt, lp, pr) =>
+      assert(nt >= 30 && lp == "en" && pr <= 0.2)
+    }
+  }
+
   test("ANN buckets stay fine-grained at scale: no N/16 bucket") {
     val n = 1200
     val rnd = new scala.util.Random(11)
