@@ -94,12 +94,18 @@ object AnalyteExtract {
     * Intermediates are materialized as named columns (`${out}_*`) so
     * multi-analyte extraction does not re-inline the candidate chains
     * (Column-tree hygiene, see Pipeline); callers project them away.
+    * `fused` (default): one compiled [[AnalyteGather]] pass per
+    * (doc, analyte) — same fused/HOF-twin discipline as the TSH path;
+    * the q43 oracle checks the fused output against the independent
+    * Python implementation, and AnalyteSpec pins fused == HOF.
     */
   def withEntities(df: DataFrame, rawCol: String, out: String,
-      cfgs: Seq[AnalyteConfig] = Secondary): DataFrame = {
+      cfgs: Seq[AnalyteConfig] = Secondary,
+      fused: Boolean = true): DataFrame = {
     val staged = cfgs.foldLeft(df) { (d, cfg) =>
       d.withColumn(s"${out}_${cfg.name}_cands",
-          labelledCandidates(col(rawCol), cfg.label, cfg.unit))
+          if (fused) AnalyteGather.of(col(rawCol), cfg.label, cfg.unit)
+          else labelledCandidates(col(rawCol), cfg.label, cfg.unit))
         .withColumn(s"${out}_${cfg.name}_best",
           best(col(s"${out}_${cfg.name}_cands")))
     }

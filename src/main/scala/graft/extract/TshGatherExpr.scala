@@ -55,47 +55,8 @@ case class TshGatherCandidates(child: Expression)
   @transient private lazy val rangeRe = Pattern.compile(TshPatterns.Range)
   @transient private lazy val unitLblRe = Pattern.compile(TshPatterns.UnitLabelled)
   @transient private lazy val unitFbRe = Pattern.compile(TshPatterns.UnitFallback)
-  @transient private lazy val wsRe = Pattern.compile(TshPatterns.WsRun)
-  @transient private lazy val nlRe = Pattern.compile("\n+")
 
-  private def toFloat(s: String): java.lang.Double = {
-    if (s == null || s.isEmpty) return null
-    val cleaned = s.replace(" ", "").replace(" ", "").replace(',', '.')
-    try java.lang.Double.valueOf(cleaned)
-    catch { case _: NumberFormatException => null }
-  }
-
-  private def adjustRef(raw: String): java.lang.Double = {
-    if (raw == null || raw.isEmpty) return null
-    if (raw.indexOf(',') >= 0 || raw.indexOf('.') >= 0) return toFloat(raw)
-    val digits = raw.filter(Character.isDigit)
-    if (digits.isEmpty) return null
-    val v = try java.lang.Double.parseDouble(digits)
-    catch { case _: NumberFormatException => return null }
-    val n = digits.length
-    if (n >= 4) v / 1000.0 else if (n == 3) v / 100.0 else v
-  }
-
-  // Locale.ROOT: Python str.lower() and Spark's lower() are locale-
-  // independent; the JVM default is not (Turkish 'I' -> 'ı' would
-  // silently disable the mui/ui-l fallback gate on such executors).
-  private def lowerRoot(s: String): String =
-    s.toLowerCase(java.util.Locale.ROOT)
-
-  private def penaltyOf(label: String): Int = {
-    val l = lowerRoot(label)
-    if (l.contains("fallback")) 2
-    else if (l.contains("tsh")) 0
-    else if (l.contains("thyr")) 1
-    else 3
-  }
-
-  private def row(hasRange: Int, penalty: Int, spanStart: Int, lineNo: Int,
-      value: Double, unit: String, refMin: java.lang.Double,
-      refMax: java.lang.Double, label: String): InternalRow =
-    new GenericInternalRow(Array[Any](hasRange, penalty, spanStart, lineNo,
-      value, if (unit == null) null else UTF8String.fromString(unit),
-      refMin, refMax, UTF8String.fromString(label)))
+  import GatherCore.{adjustRef, lowerRoot, row, toFloat}
 
   override def nullSafeEval(input: Any): Any =
     evalCore(input.asInstanceOf[UTF8String])
@@ -104,47 +65,11 @@ case class TshGatherCandidates(child: Expression)
     * from janino-compiled classes).
     */
   def evalCore(input: UTF8String): GenericArrayData = {
-    val raw = input.toString
-    // N1 normalize
-    val norm = nlRe.matcher(
-      wsRe.matcher(raw.replace('\r', '\n')).replaceAll(" ")).replaceAll("\n")
-    val lines = norm.split("\n", -1)
+    // N1 normalize + N2 split + phase 1 (E1-E6) live in GatherCore —
+    // shared verbatim with the generic AnalyteGather expression
+    val lines = GatherCore.linesOf(input.toString)
     val out = new java.util.ArrayList[InternalRow]()
-
-    // phase 1: labelled candidates (E1-E6)
-    var i = 0
-    while (i < lines.length) {
-      val line = lines(i)
-      val lm = labelRe.matcher(line)
-      if (lm.find()) {
-        val label = lm.group(0)
-        val snippet = line.substring(lm.end())
-        val nm = numRe.matcher(snippet)
-        if (nm.find()) {
-          val value = toFloat(nm.group(0))
-          if (value != null) {
-            val numEnd = nm.end()
-            // E4: unit in 25-char window after the value (Q10)
-            val window = snippet.substring(numEnd,
-              math.min(snippet.length, numEnd + 25))
-            val um = unitLblRe.matcher(window)
-            val unit = if (um.find()) um.group(0) else null
-            // E5: range search from the value end (tsh.py:167)
-            val rm = rangeRe.matcher(snippet)
-            var refMin: java.lang.Double = null
-            var refMax: java.lang.Double = null
-            if (rm.find(numEnd)) {
-              refMin = adjustRef(rm.group(1))
-              refMax = adjustRef(rm.group(2))
-            }
-            val hasRange = if (refMin != null && refMax != null) 0 else 1
-            out.add(row(hasRange, penaltyOf(label), lm.start(), i,
-              value, unit, refMin, refMax, label))
-          }
-        }
-      }
-      i += 1
-    }
+    GatherCore.labelled(lines, labelRe, numRe, rangeRe, unitLblRe, out)
 
     // phase 2: fallback only if no labelled candidate (tsh.py:259-264)
     if (out.isEmpty) {

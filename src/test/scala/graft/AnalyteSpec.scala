@@ -29,6 +29,24 @@ class AnalyteSpec extends AnyFunSuite {
     assert(viaGeneric == viaTsh)
   }
 
+  test("fused AnalyteGather == HOF labelled chain, byte-identical per analyte") {
+    val ocr = Pipeline.ocrAll(Corpus.generate(spark, 200)).toDF().cache()
+    def ents(fused: Boolean) =
+      AnalyteExtract.withEntities(ocr, "optimum_raw", "ents", fused = fused)
+        .select(col("doc_id"), col("ents").cast("string").as("e"))
+        .orderBy("doc_id").as[(String, String)].collect().toSeq
+    assert(ents(fused = true) == ents(fused = false))
+    // raw candidate arrays too (pre-best), for one analyte config
+    val cfg = AnalyteExtract.Glycemia
+    val both = ocr.select(
+      graft.extract.AnalyteGather.of(col("optimum_raw"), cfg.label, cfg.unit)
+        .cast("string").as("f"),
+      AnalyteExtract.labelledCandidates(col("optimum_raw"), cfg.label, cfg.unit)
+        .cast("string").as("h"))
+      .as[(String, String)].collect()
+    assert(both.nonEmpty && both.forall { case (f, h) => f == h })
+  }
+
   test("secondary analytes recover the seeded corpus values") {
     val docs = Corpus.generate(spark, 200)
     val ents = AnalyteExtract.withEntities(
