@@ -421,3 +421,127 @@ object CosineSim {
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
   }
 }
+
+/** Fused sign-LSH bucket keys: projections AND sign-bucketing in one
+  * pass — the corpus-side map work of annTopK / cosineDupPairs /
+  * bucketOccupancy (every corpus vector pays it). Byte-compatible with
+  * the staged form (`SignProjections` + the HOF bucketOf): same
+  * xxh64-derived ±1 components, bucket bit i set iff projection_i >= 0.
+  * The query side keeps the projection matrix (multi-probe needs the
+  * margins); cross-validated byte-identical by test.
+  */
+case class SignBuckets(child: Expression, nPlanes: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("table", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "sign_buckets"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("signBuckets", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalCore($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any =
+    evalCore(input.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(vec: ArrayData): GenericArrayData = {
+    val dim = vec.numElements()
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val planeSeed = XXH64.hashInt(t * nPlanes + p, 42L)
+        var acc = 0.0d
+        var d = 0
+        while (d < dim) {
+          val h = XXH64.hashInt(d, planeSeed)
+          val sign = if (java.lang.Math.floorMod(h, 2L) == 0L) 1.0d else -1.0d
+          acc += vec.getDouble(d) * sign
+          d += 1
+        }
+        if (acc >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](t, bucket))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignBuckets {
+  def of(vec: Column, nPlanes: Int, tables: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SignBuckets(Bridge.expression(vec), nPlanes, tables))
+  }
+}
+
+/** Fused MinHash LSH band keys: the per-band `concat_ws("_", slice) ->
+  * xxhash64` chain as one pass building the identical "_"-joined
+  * signed-decimal string per band and hashing its UTF-8 bytes with
+  * seed 42 — hash-compatible with `TextOps.lshBandKeys` (and with the
+  * Python oracle mirror, which builds the same string). Cross-validated
+  * byte-identical by test.
+  */
+case class MinhashBandKeys(child: Expression, bands: Int)
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("minhashBandKeys", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalCore($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any =
+    evalCore(input.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(sig: ArrayData): GenericArrayData = {
+    val m = sig.numElements()
+    val rows = m / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(rows * 21)
+      var k = 0
+      while (k < rows) {
+        if (k > 0) sb.append('_')
+        sb.append(sig.getLong(b * rows + k))
+        k += 1
+      }
+      val s = UTF8String.fromString(sb.toString)
+      val bucket = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      out(b) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b, bucket))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashBandKeys {
+  def of(sig: Column, bands: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(MinhashBandKeys(Bridge.expression(sig), bands))
+  }
+}

@@ -233,7 +233,9 @@ object TextOps {
     // intersect.
     val base = docs.select(id.as("id"), shingleHashSet(text, n, fused).as("hs"))
       .withColumn("sig", signature(col("hs"), m, fused))
-      .withColumn("bk", explode_outer(lshBandKeys(col("sig"), m, bands)))
+      .withColumn("bk", explode_outer(
+        if (fused) MinhashBandKeys.of(col("sig"), bands)
+        else lshBandKeys(col("sig"), m, bands)))
       .select(col("id"), col("hs"), col("bk.band"), col("bk.bucket"))
       // materialization barrier: the self-join would otherwise recompute
       // the minhash chain per side AND pull inlined copies of it into

@@ -121,10 +121,16 @@ object VectorOps {
     if (fused) SignProjections.of(vec, nPlanes, tables)
     else array((0 until tables).map(t => projections(vec, nPlanes, t)): _*)
 
-  /** Corpus-side keys: one (table, bucket) per table. */
+  /** Corpus-side keys: one (table, bucket) per table. Fused path is the
+    * single-pass SignBuckets expression (projection + sign-bucketing
+    * together — every corpus vector pays this); HOF twin kept for
+    * cross-validation.
+    */
   private def lshKeys(vec: Column, nPlanes: Int, tables: Int,
       fused: Boolean): Column =
-    zip_with(projMatrix(vec, nPlanes, tables, fused), sequence(lit(0), lit(tables - 1)),
+    if (fused) SignBuckets.of(vec, nPlanes, tables)
+    else zip_with(projMatrix(vec, nPlanes, tables, fused = false),
+      sequence(lit(0), lit(tables - 1)),
       (projs, t) => struct(t.as("table"), bucketOf(projs).as("bucket")))
 
   /** Query-side multi-probe keys: per table, the home bucket plus every

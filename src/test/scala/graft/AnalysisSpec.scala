@@ -259,6 +259,37 @@ class AnalysisSpec extends AnyFunSuite {
       s"fused IVF plan embeds centroid literal $marker")
   }
 
+  test("fused MinhashBandKeys == HOF lshBandKeys, byte-identical") {
+    val sig = documents.select(
+      TextOps.minhashSignature(TextOps.shingles(col("text"), 3), 16).as("sig"))
+    val both = sig.select(
+      graft.analysis.MinhashBandKeys.of(col("sig"), 4).cast("string").as("f"),
+      TextOps.lshBandKeys(col("sig"), 16, 4).cast("string").as("h"))
+      .as[(String, String)].collect()
+    assert(both.nonEmpty && both.forall { case (f, h) => f == h })
+  }
+
+  test("full near-dup pipeline: fused encoding == HOF encoding") {
+    val base = documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 80)
+    val dups = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val all = base.unionByName(dups)
+    def run(fused: Boolean) =
+      TextOps.minhashDupPairs(all, col("doc_id"), col("text"), fused = fused)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(run(fused = true) == run(fused = false))
+    def runCos(fused: Boolean) = {
+      val emb = spark.read.parquet(s"$docsPath/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      VectorOps.cosineDupPairs(emb.unionByName(
+          emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))),
+        minCos = 0.999, fused = fused)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    }
+    assert(runCos(fused = true) == runCos(fused = false))
+  }
+
   test("fused CosineSim == HOF cosine: float- and null-identical") {
     val emb = spark.read.parquet(s"$docsPath/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("a"))
