@@ -15,11 +15,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * only extension is this scalar expression.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.tshGatherCandidates)
-    ext.injectFunction(GraftFunctions.shingleHashes)
-    ext.injectFunction(GraftFunctions.minhashSignature)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
@@ -84,11 +81,77 @@ object GraftFunctions {
       "minhash_signature"),
     buildMinhash(_))
 
+  private def arity(args: Seq[Expression], n: Int, fn: String): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects exactly $n argument(s), got ${args.length}")
+
+  private def litStr(args: Seq[Expression], i: Int, fn: String): String =
+    args(i) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal, got $other")
+    }
+
+  private def buildSimhash(args: Seq[Expression]): Expression = {
+    arity(args, 1, "simhash64")
+    graft.analysis.Simhash64(args.head)
+  }
+
+  private def buildCosine(args: Seq[Expression]): Expression = {
+    arity(args, 2, "cosine_sim")
+    graft.analysis.CosineSim(args.head, args(1))
+  }
+
+  private def buildSignBuckets(args: Seq[Expression]): Expression = {
+    arity(args, 3, "sign_buckets")
+    graft.analysis.SignBuckets(args.head,
+      litInt(args, "sign_buckets"), args(2) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"sign_buckets: third argument must be an integer literal, got $other")
+      })
+  }
+
+  private def buildBandKeys(args: Seq[Expression]): Expression = {
+    arity(args, 2, "minhash_band_keys")
+    graft.analysis.MinhashBandKeys(args.head, litInt(args, "minhash_band_keys"))
+  }
+
+  private def buildAnalyteGather(args: Seq[Expression]): Expression = {
+    arity(args, 3, "analyte_gather_candidates")
+    // null raw behaves like _normalize_text(None) -> '' (empty array)
+    AnalyteGather(Coalesce(Seq(args.head, Literal(""))),
+      litStr(args, 1, "analyte_gather_candidates"),
+      litStr(args, 2, "analyte_gather_candidates"))
+  }
+
+  private def info(cls: Class[_], name: String) =
+    new ExpressionInfo(cls.getName, name)
+
+  /** The full fused-expression SQL surface. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    tshGatherCandidates, shingleHashes, minhashSignature,
+    (FunctionIdentifier("simhash64"),
+      info(classOf[graft.analysis.Simhash64], "simhash64"), buildSimhash(_)),
+    (FunctionIdentifier("cosine_sim"),
+      info(classOf[graft.analysis.CosineSim], "cosine_sim"), buildCosine(_)),
+    (FunctionIdentifier("sign_buckets"),
+      info(classOf[graft.analysis.SignBuckets], "sign_buckets"),
+      buildSignBuckets(_)),
+    (FunctionIdentifier("minhash_band_keys"),
+      info(classOf[graft.analysis.MinhashBandKeys], "minhash_band_keys"),
+      buildBandKeys(_)),
+    (FunctionIdentifier("analyte_gather_candidates"),
+      info(classOf[AnalyteGather], "analyte_gather_candidates"),
+      buildAnalyteGather(_)))
+
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("tsh_gather_candidates", build, "built-in")
-    reg.createOrReplaceTempFunction("shingle_hashes", buildShingles, "built-in")
-    reg.createOrReplaceTempFunction("minhash_signature", buildMinhash, "built-in")
+    all.foreach { case (id, _, builder) =>
+      reg.createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
   }
 }

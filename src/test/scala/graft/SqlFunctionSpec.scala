@@ -80,6 +80,31 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(sqlSh == hofSh, s"fused $sqlSh != HOF $hofSh on a null token")
   }
 
+  test("the full fused-expression surface is SQL-callable") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val row = spark.sql(
+      """SELECT simhash64(array(xxhash64('a'), xxhash64('b'))) AS sh,
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+        |  size(sign_buckets(array(0.5d, -0.5d), 4, 2)) AS nb,
+        |  size(minhash_band_keys(array(1L, 2L, 3L, 4L), 2)) AS nk,
+        |  size(analyte_gather_candidates(
+        |    'Glycémie 0,95 g/L (0,70 - 1,10)',
+        |    '(?iU)glyc[ée]mie', '(?iU)(?:g ?/?L|mmol/?L)')) AS na,
+        |  size(analyte_gather_candidates(CAST(NULL AS string),
+        |    '(?iU)glyc[ée]mie', '(?iU)g ?/?L')) AS nnull
+        |""".stripMargin)
+      .as[(Long, Double, Int, Int, Int, Int)].head()
+    assert(row._2 == 1.0 && row._3 == 2 && row._4 == 2)
+    assert(row._5 == 1, "labelled analyte line should yield one candidate")
+    assert(row._6 == 0, "null raw must behave like empty text")
+    // literal-argument validation fails loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT analyte_gather_candidates('x', upper('a'), 'b')").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
   test("unknown pipeline modes are rejected up front (app.py Literal enum)") {
     val docs = graft.corpus.Corpus.generate(spark, 4)
     val e = intercept[IllegalArgumentException] {
