@@ -92,6 +92,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused AnalyteGather == HOF chain on generated noisy lab lines") {
+    val cfg = graft.extract.AnalyteExtract.Glycemia
+    val lineGen: Gen[String] = for {
+      label <- Gen.oneOf("Glycémie", "glycemie", "GLYCÉMIE", "Glucose") // last never matches
+      pad <- Gen.oneOf("", " ", "  :", " \t")
+      v <- Gen.choose(50, 250)
+      unit <- Gen.oneOf(" g/L", " g/ L", " mmol/L", " mU", "")
+      range <- Gen.oneOf("", " (0,70 - 1,10)", " 070 - 110", " 0.7 à 1.1")
+      noise <- fillerGen
+    } yield s"$label$pad ${v / 100.0}".replace('.', ',') + s"$unit$range\n$noise"
+    val docGen = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val cases = sample(docGen, 250, 5005L).zipWithIndex
+      .map { case (raw, i) => (i.toLong, raw) }
+    val both = cases.toDF("id", "raw").select(col("id"),
+      graft.extract.AnalyteGather.of(col("raw"), cfg.label, cfg.unit)
+        .cast("string").as("f"),
+      graft.extract.AnalyteExtract.labelledCandidates(col("raw"),
+        cfg.label, cfg.unit).cast("string").as("h"))
+      .as[(Long, String, String)].collect()
+    assert(both.length == cases.length)
+    both.foreach { case (i, f, h) =>
+      assert(f == h, s"case $i: fused $f != HOF $h\nraw=<${cases(i.toInt)._2}>")
+    }
+  }
+
   test("doc set permutation / duplication-of-partitioning invariance") {
     val docs = graft.corpus.Corpus.generate(spark, 64)
     def run(d: org.apache.spark.sql.Dataset[graft.schema.DocRow]) =
