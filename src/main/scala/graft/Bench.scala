@@ -88,26 +88,34 @@ object Bench {
     }
 
     // audited skew-aware job: per-bucket wall from the audit records —
-    // the round-over-round skew-regression signal (BENCH.md table)
+    // the round-over-round skew-regression signal (BENCH.md table).
+    // Fault-isolated like the per-query timings: a failure here must not
+    // discard the minutes of measurements already taken (-1 marks it)
     val auditDocs = if (heapGb < 2.5) 5000L else 20000L
-    val auditDir =
-      java.nio.file.Files.createTempDirectory("graft-bench-audit").toString
-    val recs = graft.io.ExtractJob.run(spark,
-      Corpus.generate(spark, auditDocs, skew = true,
-        partitions = cpus.toInt * 4),
-      "auto", auditDir, "bench", buckets = 8)
-    val walls = recs.map(_.wall_ms).sorted
-    val (wallP50, wallMax) =
+    val (wallP50, wallMax) = try {
+      val auditDir =
+        java.nio.file.Files.createTempDirectory("graft-bench-audit").toString
+      val recs = graft.io.ExtractJob.run(spark,
+        Corpus.generate(spark, auditDocs, skew = true,
+          partitions = cpus.toInt * 4),
+        "auto", auditDir, "bench", buckets = 8)
+      val walls = recs.map(_.wall_ms).sorted
+      // best-effort temp cleanup (bounded size either way)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(auditDir)).iterator()
+          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Exception => }
       if (walls.isEmpty) (0L, 0L) else (walls(walls.length / 2), walls.last)
-    // best-effort temp cleanup (bounded size either way)
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(auditDir)).iterator()
-        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: Exception => }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] audited skew job FAILED: $e")
+      (-1L, -1L)
+    }
 
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
     def arr(xs: Seq[Double]): String =
-      xs.map(x => f"$x%.4f").mkString("[", ",", "]")
+      xs.map(x => String.format(java.util.Locale.ROOT, "%.4f",
+        java.lang.Double.valueOf(x))).mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + extractSec

@@ -31,16 +31,19 @@ import org.apache.spark.sql.functions._
 object Buckets {
 
   /** Adds `__salt` (0 for buckets at or under `maxBucket`); self-join on
-    * `keys :+ "__salt"`. The broadcast side holds one row per OVERSIZED
-    * bucket only — pathological buckets are few by definition (at most
-    * N/maxBucket of them exist).
+    * `keys :+ "__salt"`. The hot side holds one row per OVERSIZED
+    * bucket only — usually zero to a handful, so AQE converts the join
+    * to a broadcast at runtime; no explicit broadcast() hint, because a
+    * worst-case corpus can have up to N/maxBucket oversized buckets
+    * (unbroadcastable at 10^12 docs) and the join must then survive as
+    * a shuffle join rather than OOM the driver inside its own guard.
     */
   def saltOversized(keyed: DataFrame, keys: Seq[String], id: Column,
       maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val hot = hotBuckets(keyed, keys, maxBucket)
       .select(keys.map(col) :+ col("n_splits"): _*)
-    keyed.join(broadcast(hot), keys, "left")
+    keyed.join(hot, keys, "left")
       .withColumn("__salt",
         when(col("n_splits").isNotNull,
           pmod(xxhash64(id), col("n_splits")).cast("int")).otherwise(0))

@@ -1,10 +1,11 @@
 package graft.analysis
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.Bridge.{ADT => AbstractDataType}
 
 /** Fused MinHash signature as a native Catalyst Expression — the
   * performance path for the near-dup pipeline's per-row signature
@@ -22,7 +23,10 @@ import org.apache.spark.sql.types._
   * equality, so band keys built on top are byte-identical either way.
   */
 case class MinhashSignature(child: Expression, m: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -90,8 +94,11 @@ object MinhashSignature {
   * by a cross-validation test.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -160,7 +167,10 @@ object ShingleHashes {
   * input -> 0L. Cross-validated byte-identical by test.
   */
 case class Simhash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -224,7 +234,10 @@ object Simhash64 {
   * Cross-validated byte-identical by test.
   */
 case class SignProjections(child: Expression, nPlanes: Int, tables: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
 
   override def dataType: DataType =
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
@@ -296,7 +309,10 @@ object SignProjections {
   */
 case class BroadcastDotProducts(child: Expression,
     mats: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "broadcast_dot_products"
@@ -362,7 +378,12 @@ object BroadcastDotProducts {
   *  - unequal lengths null the zip_with dot -> null when d > 0, else 0.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -431,7 +452,15 @@ object CosineSim {
   * margins); cross-validated byte-identical by test.
   */
 case class SignBuckets(child: Expression, nPlanes: Int, tables: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  // plan-time guards (the SQL surface bypasses VectorOps.requirePlanes):
+  // 1L << p wraps silently at p >= 64, and tables sizes the output
+  require(nPlanes >= 1 && nPlanes <= 62,
+    s"sign_buckets: nPlanes must be in [1, 62], got $nPlanes")
+  require(tables >= 1, s"sign_buckets: tables must be >= 1, got $tables")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("table", IntegerType, nullable = false),
@@ -451,6 +480,22 @@ case class SignBuckets(child: Expression, nPlanes: Int, tables: Int)
   def evalCore(vec: ArrayData): GenericArrayData = {
     val dim = vec.numElements()
     val out = new Array[Any](tables)
+    // HOF-twin parity: a null element nulls every projection, and the
+    // per-bit `when(pr >= 0, ...)` then falls through to otherwise(0L)
+    // -> bucket 0 in every table (SQL callers can pass null elements)
+    var nd = 0
+    while (nd < dim) {
+      if (vec.isNullAt(nd)) {
+        var t0 = 0
+        while (t0 < tables) {
+          out(t0) = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](t0, 0L))
+          t0 += 1
+        }
+        return new GenericArrayData(out)
+      }
+      nd += 1
+    }
     var t = 0
     while (t < tables) {
       var bucket = 0L
@@ -494,8 +539,13 @@ object SignBuckets {
   * byte-identical by test.
   */
 case class MinhashBandKeys(child: Expression, bands: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   import org.apache.spark.unsafe.types.UTF8String
+
+  require(bands >= 1, s"minhash_band_keys: bands must be >= 1, got $bands")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("band", IntegerType, nullable = false),
@@ -520,9 +570,15 @@ case class MinhashBandKeys(child: Expression, bands: Int)
     while (b < bands) {
       val sb = new java.lang.StringBuilder(rows * 21)
       var k = 0
+      var first = true
       while (k < rows) {
-        if (k > 0) sb.append('_')
-        sb.append(sig.getLong(b * rows + k))
+        // concat_ws semantics (the HOF twin): null slots are SKIPPED,
+        // separator included only between non-null values
+        if (!sig.isNullAt(b * rows + k)) {
+          if (!first) sb.append('_')
+          sb.append(sig.getLong(b * rows + k))
+          first = false
+        }
         k += 1
       }
       val s = UTF8String.fromString(sb.toString)

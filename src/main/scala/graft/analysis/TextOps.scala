@@ -313,7 +313,10 @@ object TextOps {
       n: Int = 3, m: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
       maxBucket: Int = 4096): (DataFrame, DataFrame) = {
     val staged = curationStage(docs, id, text, lang, minTokens, maxPunctRatio)
-    val keepers = dedupExact(staged, col("text"), col("doc_id"))
+    // keepers feed BOTH the near-dup join and the final anti-join: cache
+    // so the regex-heavy hygiene projection and the exact-dedup shuffle
+    // run once (lifecycle is the caller's, like minhashDupPairs' base)
+    val keepers = dedupExact(staged, col("text"), col("doc_id")).cache()
     val pairs = minhashDupPairs(keepers, col("doc_id"), col("text"),
       n, m, bands, minJaccard, maxBucket)
     val dropIds = pairs

@@ -120,7 +120,12 @@ private[extract] object GatherCore {
   * Python implementation.
   */
 case class AnalyteGather(child: Expression, labelRe: String, unitRe: String)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.ADT] =
+    Seq(org.apache.spark.sql.types.StringType)
+
 
   override def dataType: DataType = TshGatherCandidates.schema
   override def prettyName: String = "analyte_gather_candidates"

@@ -33,7 +33,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * key (G2/G3 + quirk Q7).
   */
 case class TshGatherCandidates(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.ADT] =
+    Seq(StringType)
+
 
   override def dataType: DataType = TshGatherCandidates.schema
   override def prettyName: String = "tsh_gather_candidates"

@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** AbstractDataType is private[sql], but ExpectsInputTypes /
+    * ImplicitCastInputTypes implementations must name it in their
+    * `inputTypes` signature — this public alias (legal: defined inside
+    * the sql package) lets graft expressions declare expected input
+    * types so Catalyst inserts implicit casts (e.g. array<float> ->
+    * array<double>) instead of the eval reading mis-strided memory.
+    */
+  type ADT = org.apache.spark.sql.types.AbstractDataType
 }

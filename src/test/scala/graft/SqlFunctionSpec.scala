@@ -105,6 +105,42 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("string literal"))
   }
 
+  test("sign_buckets/minhash_band_keys: null elements + implicit casts match HOF") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // null vector element: HOF nulls every projection -> bucket 0/table
+    val nullVec = spark.sql(
+      "SELECT sign_buckets(array(1.0d, CAST(NULL AS double)), 4, 2) AS b")
+      .select(col("b").cast("string")).as[String].head()
+    assert(nullVec == "[{0, 0}, {1, 0}]", s"got $nullVec")
+    // null signature slot: concat_ws SKIPS it — compare to the HOF twin
+    val df = spark.sql("SELECT array(1L, CAST(NULL AS bigint), 3L, 4L) AS sig")
+    val both = df.select(
+      graft.analysis.MinhashBandKeys.of(col("sig"), 2).cast("string").as("f"),
+      graft.analysis.TextOps.lshBandKeys(col("sig"), 4, 2).cast("string").as("h"))
+      .as[(String, String)].head()
+    assert(both._1 == both._2, s"fused ${both._1} != HOF ${both._2}")
+    // implicit casts: float embeddings / int signatures are coerced, not
+    // read with the wrong stride
+    val f = spark.sql(
+      """SELECT cosine_sim(CAST(array(1.0, 2.0) AS array<float>),
+        |                  CAST(array(1.0, 2.0) AS array<float>)) AS c,
+        |       size(minhash_band_keys(array(1, 2, 3, 4), 2)) AS nk,
+        |       size(sign_buckets(CAST(array(0.5, -0.5) AS array<float>), 4, 1)) AS nb
+        |""".stripMargin).as[(Double, Int, Int)].head()
+    assert(math.abs(f._1 - 1.0) < 1e-12 && f._2 == 2 && f._3 == 1)
+    // plan-time range validation on the SQL surface
+    val e = intercept[Exception] {
+      spark.sql("SELECT sign_buckets(array(1.0d), 100, 1)").collect()
+    }
+    assert(e.getMessage.contains("[1, 62]"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT minhash_band_keys(array(1L), 0)").collect()
+    }
+    assert(e2.getMessage.contains(">= 1"))
+  }
+
   test("unknown pipeline modes are rejected up front (app.py Literal enum)") {
     val docs = graft.corpus.Corpus.generate(spark, 4)
     val e = intercept[IllegalArgumentException] {
