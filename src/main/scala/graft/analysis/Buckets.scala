@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * banded join is a 100 TB scale-killer even when the banding is right.
   *
   * Strategy here: count bucket occupancy (map-side partial aggregation
-  * makes the shuffle one tiny row per bucket per task), broadcast the
-  * oversized buckets back onto the exploded base (no re-shuffle of the
-  * heavy side), and deterministically hash-salt their members into
-  * ceil(n/maxBucket) sub-buckets — the self-join on (keys, salt) is
-  * then bounded to O(n * maxBucket) candidate pairs per bucket.
+  * makes the shuffle one tiny row per bucket per task), join the
+  * oversized buckets back onto the exploded base (AQE broadcasts the
+  * usually-tiny hot side at runtime — no re-shuffle of the heavy side —
+  * and falls back to a shuffle join if a pathological corpus makes the
+  * hot side itself large), and deterministically hash-salt their
+  * members into ceil(n/maxBucket) sub-buckets — the self-join on
+  * (keys, salt) is then bounded to O(n * maxBucket) candidate pairs
+  * per bucket.
   *
   * Recall contract (NOT silent): pairs crossing salt boundaries inside
   * an oversized bucket are not generated. The supported composition is
