@@ -44,6 +44,12 @@ object Buckets {
   def saltOversized(keyed: DataFrame, keys: Seq[String], id: Column,
       maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    // internal working columns: a caller schema already carrying either
+    // name would silently collide in the join/withColumn below and
+    // produce wrong salts
+    Seq("n_splits", "__salt").foreach(c =>
+      require(!keyed.columns.contains(c),
+        s"saltOversized input must not contain a '$c' column"))
     val hot = hotBuckets(keyed, keys, maxBucket)
       .select(keys.map(col) :+ col("n_splits"): _*)
     keyed.join(hot, keys, "left")

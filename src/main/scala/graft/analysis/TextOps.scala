@@ -1,7 +1,6 @@
 package graft.analysis
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data text operators over a `documents`-shaped
@@ -30,10 +29,32 @@ object TextOps {
     docs.groupBy(key.as("dup_key"))
       .agg(count(lit(1)).as("n_dups"), min(id).as("keeper_id"))
 
-  /** Keep one doc per exact-dup key (deterministic keeper = min id). */
+  /** Keep one doc per exact-dup key (deterministic keeper = min id;
+    * `id` must be unique per row — every call site uses a primary key).
+    *
+    * Shape matters at scale: keeper ids come from `groupBy(key).min(id)`
+    * — a hash aggregation with MAP-SIDE partial aggregation, so a
+    * 10^6-identical-key cluster costs one tiny (key, min_id) row per map
+    * task — followed by a left_semi join back on the COMPOSITE (key, id),
+    * which spreads even a mega-cluster's rows uniformly by id. The
+    * previous `row_number() over (partition by key)` form had no partial
+    * aggregation: it shipped every member of an identical-text cluster
+    * (full text riding along) to ONE reducer before discarding all but
+    * one — a skewed-key full shuffle, i.e. the scale-killer class.
+    * Callers that dedup on text pass `xxhash64(text)` as the key so the
+    * exchanges carry 8-byte keys, not multi-KB strings (collapsing two
+    * 64-bit-colliding texts is an accepted 2^-64 event, the same
+    * contract [[dedupCascade]] has always had).
+    */
   def dedupExact(docs: DataFrame, key: Column, id: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(id)
-    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val keyed = docs.withColumn("__dedup_key", key)
+    val keepers = keyed.groupBy(col("__dedup_key").as("__k"))
+      .agg(min(id).as("__i"))
+    // null-safe on the key: a null dup key is one group (matching the
+    // old window semantics, where partitionBy grouped nulls together)
+    keyed.join(keepers, col("__dedup_key") <=> col("__k") && id === col("__i"),
+        "left_semi")
+      .drop("__dedup_key")
   }
 
   // ---- quality / language heuristics (pure projections) -------------------
@@ -272,16 +293,17 @@ object TextOps {
   /** Language gate + quality-ratio window + exact-dedup keeper in one
     * composition: ONE map-side projection computes every feature, the
     * filter drops rejects before anything shuffles, and the only
-    * shuffle is the exact-dedup key — the shape a 100 TB curation job
-    * takes before the near-dup stage ([[dedupCascade]]) runs on what
-    * survives. Returns the kept docs with their features
+    * shuffles are the exact-dedup key aggregation + keeper semi-join
+    * (8-byte hash keys, partial-agg — see [[dedupExact]]) — the shape a
+    * 100 TB curation job takes before the near-dup stage
+    * ([[dedupCascade]]) runs on what survives. Returns the kept docs with their features
     * (doc_id, lang_pred, n_tokens, punct_ratio).
     */
   def curationFilter(docs: DataFrame, id: Column, text: Column,
       lang: String = "en", minTokens: Int = 30,
       maxPunctRatio: Double = 0.2): DataFrame =
     dedupExact(curationStage(docs, id, text, lang, minTokens, maxPunctRatio),
-      col("text"), col("doc_id")).drop("text")
+      xxhash64(col("text")), col("doc_id")).drop("text")
 
   /** Hygiene filter with the text column kept (shared by curationFilter
     * and the full curate() composition).
@@ -298,9 +320,9 @@ object TextOps {
         col("punct_ratio") <= maxPunctRatio)
 
   /** The COMPLETE curation pass a pre-training corpus takes, composed:
-    * hygiene filter (map-side) -> exact-dup collapse (one keyed window)
-    * -> MinHash near-dup join over keepers (banded, hot-bucket-bounded)
-    * -> near-dup drop. Drop policy: the HIGHER id of each near pair is
+    * hygiene filter (map-side) -> exact-dup collapse (partial-agg keyed
+    * on the text hash) -> MinHash near-dup join over keepers (banded,
+    * hot-bucket-bounded) -> near-dup drop. Drop policy: the HIGHER id of each near pair is
     * dropped (the standard deterministic single-pass keeper rule;
     * chains resolve because every non-minimal member of a near-dup
     * cluster pairs with some lower id via the same bands — the pair set
@@ -316,7 +338,7 @@ object TextOps {
     // keepers feed BOTH the near-dup join and the final anti-join: cache
     // so the regex-heavy hygiene projection and the exact-dedup shuffle
     // run once (lifecycle is the caller's, like minhashDupPairs' base)
-    val keepers = dedupExact(staged, col("text"), col("doc_id")).cache()
+    val keepers = dedupExact(staged, xxhash64(col("text")), col("doc_id")).cache()
     val pairs = minhashDupPairs(keepers, col("doc_id"), col("text"),
       n, m, bands, minJaccard, maxBucket)
     val dropIds = pairs

@@ -133,6 +133,38 @@ class AnalysisSpec extends AnyFunSuite {
     val kept = TextOps.dedupExact(df, col("k"), col("id"))
       .select("id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 3L))
+    // null keys form one group (the old window semantics)
+    val withNull = Seq((1L, "x"), (2L, null), (3L, null)).toDF("id", "k")
+    val keptN = TextOps.dedupExact(withNull, col("k"), col("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(keptN == Seq(1L, 2L))
+  }
+
+  test("exact dedup is partial-aggregate: a 100k-identical cluster never meets one reducer") {
+    // The scale contract (round-3 verdict #1): keeper selection must be
+    // a hash aggregation WITH map-side partial agg — a mega-cluster of
+    // identical texts then costs one tiny (key, min_id) row per map task
+    // — and the row re-selection a semi-join on the composite (key, id),
+    // which spreads the cluster's rows uniformly by id. A row_number
+    // window would ship every member (text riding along) to ONE task.
+    // non-foldable text (the when() depends on id) so the plan keeps the
+    // xxhash64(text) key visible instead of constant-folding it away
+    val cluster = spark.range(100000)
+      .select(col("id"), concat(lit("identical boilerplate page text"),
+        when(col("id") < 0, lit("never")).otherwise(lit(""))).as("text"))
+    val tail = Seq((200000L, "first distinct doc"), (200001L, "second distinct doc"))
+      .toDF("id", "text")
+    val kept = TextOps.dedupExact(cluster.unionByName(tail),
+      xxhash64(col("text")), col("id"))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"dedupExact must not plan a Window over the dup key:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"keeper aggregation lost its map-side partial stage:\n$plan")
+    // the dup key in the exchanges is the 8-byte hash, never raw text
+    assert(plan.contains("xxhash64"), s"dup key is not hashed:\n$plan")
+    val ids = kept.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(0L, 200000L, 200001L), s"wrong keepers: $ids")
   }
 
   test("ANN: cos scores agree with brute force; recall@3 is non-vacuous") {
