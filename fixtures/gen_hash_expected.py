@@ -16,6 +16,7 @@ Writes (all under fixtures/):
     expected_minhash_pairs.parquet  (id_a, id_b, jaccard)    for q25
     expected_simhash_pairs.parquet  (id_a, id_b, hamming)    for q45
     expected_dedup_cascade.parquet  (id_a, id_b, jaccard)    for q48
+    expected_dup_clusters.parquet   (doc_id, cluster_keeper) for q51
     expected_curate.parquet   (doc_id, lang_pred, n_tokens,
                                punct_ratio)                   for q50
 
@@ -217,6 +218,26 @@ def main(sf_dir):
             q45[i + 2000000] = t + " zz"
     write(con, "expected_simhash_pairs",
           "id_a BIGINT, id_b BIGINT, hamming INTEGER", simhash_pairs(q45))
+
+    # q51: union-find clusters over the q25 pair set — every doc in a
+    # pair labelled with the min id reachable through the pair graph
+    pairs = minhash_pairs(q25)
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    write(con, "expected_dup_clusters", "doc_id BIGINT, cluster_keeper BIGINT",
+          sorted((i, find(i)) for i in parent))
 
     # q48: exact->near cascade — base + a 500-strong identical cluster of
     # doc 0's text + the q25-style near-dups; exact collapse on

@@ -415,6 +415,18 @@ object SparkEntry {
       TextOps.dedupCascade(docs.unionByName(dups).unionByName(cluster),
         col("doc_id"), col("text"))._1
     }),
+    "q51_dup_clusters" -> ((s, d) => {
+      // duplicate-cluster grouping (connected components / union-find)
+      // over the q25 near-dup pair graph: (doc_id, cluster_keeper) via
+      // min-id label propagation — hash-checked against an independent
+      // Python union-find mirror (fixtures/gen_hash_expected.py)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      TextOps.dupClusters(TextOps.minhashDupPairs(docs.unionByName(dups),
+        col("doc_id"), col("text"), n = 3, m = 16, bands = 4, minJaccard = 0.5))
+    }),
     "q28_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
@@ -666,6 +678,13 @@ object SparkEntry {
       ("SELECT doc_id, report_date, light_date " +
         "FROM read_parquet('/root/repo/fixtures/expected_dates.parquet')"),
 
+    // media decode: StubCodec semantics re-implemented in Python over
+    // the dumped asset payloads (fixtures/gen_media_expected.py)
+    "q34_media_decode" ->
+      ("SELECT media_ref, mime, n_bytes, width, height, n_frames, ok, " +
+        "n_sampled_frames " +
+        "FROM read_parquet('/root/repo/fixtures/expected_media.parquet')"),
+
     "q49_curation" ->
       ("SELECT doc_id, lang_pred, n_tokens, punct_ratio FROM (" +
         "SELECT doc_id, text, lang_pred, n_tokens, punct_ratio, " +
@@ -706,6 +725,9 @@ object SparkEntry {
     "q48_dedup_cascade" ->
       ("SELECT id_a, id_b, jaccard " +
         "FROM read_parquet('/root/repo/fixtures/expected_dedup_cascade.parquet')"),
+    "q51_dup_clusters" ->
+      ("SELECT doc_id, cluster_keeper " +
+        "FROM read_parquet('/root/repo/fixtures/expected_dup_clusters.parquet')"),
     "q50_curate_full" ->
       ("SELECT doc_id, lang_pred, n_tokens, punct_ratio " +
         "FROM read_parquet('/root/repo/fixtures/expected_curate.parquet')"),

@@ -327,13 +327,19 @@ object TextOps {
     * chains resolve because every non-minimal member of a near-dup
     * cluster pairs with some lower id via the same bands — the pair set
     * is also returned for graph-based grouping where exactness
-    * matters). Returns (kept: (doc_id, lang_pred, n_tokens,
-    * punct_ratio), nearPairs: (id_a, id_b, jaccard)).
+    * matters). Pass `exactClusters = true` to drop by CONNECTED-
+    * COMPONENT clusters instead ([[dupClusters]] min-id propagation):
+    * exact on transitive chains the greedy rule keeps (see the
+    * [[dupClusters]] doc for the (1,3),(2,3) example), at the cost of
+    * the O(diameter) propagation rounds. Returns (kept: (doc_id,
+    * lang_pred, n_tokens, punct_ratio), nearPairs: (id_a, id_b,
+    * jaccard)).
     */
   def curate(docs: DataFrame, id: Column, text: Column,
       lang: String = "en", minTokens: Int = 30, maxPunctRatio: Double = 0.2,
       n: Int = 3, m: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
-      maxBucket: Int = 4096): (DataFrame, DataFrame) = {
+      maxBucket: Int = 4096,
+      exactClusters: Boolean = false): (DataFrame, DataFrame) = {
     val staged = curationStage(docs, id, text, lang, minTokens, maxPunctRatio)
     // keepers feed BOTH the near-dup join and the final anti-join: cache
     // so the regex-heavy hygiene projection and the exact-dedup shuffle
@@ -341,11 +347,77 @@ object TextOps {
     val keepers = dedupExact(staged, xxhash64(col("text")), col("doc_id")).cache()
     val pairs = minhashDupPairs(keepers, col("doc_id"), col("text"),
       n, m, bands, minJaccard, maxBucket)
-    val dropIds = pairs
-      .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+    val dropIds =
+      if (exactClusters) clusterDropIds(pairs)
+      else pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
     val kept = keepers.join(dropIds, Seq("doc_id"), "left_anti").drop("text")
     (kept, pairs)
   }
+
+  // ---- near-dup cluster grouping (connected components) ----------------
+  /** Groups a near-dup PAIR set into duplicate clusters: every doc
+    * appearing in `pairs` (id_a, id_b) is labelled with the minimum doc
+    * id reachable through the pair graph (`cluster_keeper`) — the
+    * union-find / connected-components step every real dedup pipeline
+    * runs after candidate generation, and the exact form of the drop
+    * rule [[curate]]'s greedy per-pair greatest-id policy approximates
+    * (they differ on transitive chains: pairs (1,3),(2,3) greedy-keep
+    * {1,2} but are ONE cluster keeping only {1}).
+    *
+    * Implementation is iterative min-label propagation with plain keyed
+    * joins — no GraphX, AQE-friendly, O(graph diameter) rounds (near-dup
+    * clusters are shallow: members pair through shared bands, so
+    * diameters stay in the single digits even for large clusters). Each
+    * round is one join + one partial-agg groupBy on 8-byte ids; labels
+    * only ever decrease, and the loop stops at fixpoint. Lineage is cut
+    * per round (localCheckpoint — pass `staging` to stage rounds through
+    * parquet instead when executor storage is the constraint at scale).
+    * Returns (doc_id, cluster_keeper), one row per distinct doc in
+    * `pairs`; docs in no pair are their own implicit singleton clusters
+    * (callers left-join and coalesce to doc_id).
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 64,
+      staging: Option[String] = None): DataFrame = {
+    def cut(df: DataFrame, name: String): DataFrame = staging match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/$name")
+        df.sparkSession.read.parquet(s"$dir/$name")
+      case None => df.localCheckpoint()
+    }
+    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct(), "edges")
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("label"))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIters) {
+      round += 1
+      // candidate label per node = min over its neighbors' current labels
+      val cand = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(edges("dst").as("doc_id")).agg(min(col("label")).as("nbr"))
+      val stepped = cut(labels.join(cand, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("new_label")), s"labels_$round")
+      changed = stepped.filter(col("new_label") < col("label")).count()
+      labels = stepped.select(col("doc_id"), col("new_label").as("label"))
+    }
+    require(changed == 0,
+      s"dupClusters did not converge in $maxIters rounds — pathological " +
+        "graph diameter; raise maxIters")
+    labels.select(col("doc_id"), col("label").as("cluster_keeper"))
+  }
+
+  /** The ids a cluster-exact dedup drops: every non-keeper member of
+    * each connected near-dup cluster. The exact alternative to the
+    * greedy per-pair drop inside [[curate]] (see [[dupClusters]]).
+    */
+  def clusterDropIds(pairs: DataFrame, staging: Option[String] = None): DataFrame =
+    dupClusters(pairs, staging = staging)
+      .filter(col("doc_id") =!= col("cluster_keeper"))
+      .select(col("doc_id"))
 
   // ---- exact -> near dedup composition --------------------------------
   /** The standard web-scale dedup cascade: collapse EXACT duplicates

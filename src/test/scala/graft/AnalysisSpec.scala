@@ -480,6 +480,74 @@ class AnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters: transitive chains collapse to min-id components") {
+    // the case the greedy per-pair drop gets wrong: (1,3),(2,3) is ONE
+    // component {1,2,3} (keeper 1), while greedy would keep {1,2}
+    val pairs = Seq((1L, 3L, 0.9), (2L, 3L, 0.9),
+      // a 4-link chain (diameter > 1 forces real propagation rounds)
+      (10L, 11L, 0.9), (11L, 12L, 0.9), (12L, 13L, 0.9), (13L, 14L, 0.9),
+      // an isolated pair
+      (20L, 21L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val got = TextOps.dupClusters(pairs)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    val drops = TextOps.clusterDropIds(pairs).as[Long].collect().sorted.toSeq
+    assert(drops == Seq(2L, 3L, 11L, 12L, 13L, 14L, 21L))
+  }
+
+  test("dupClusters on a real LSH pair set matches per-pair reachability") {
+    val base = documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    // two generations of near-dups of the same parents -> transitive sets
+    val g1 = base.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val g2 = base.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zz yy")).as("text"))
+    val pairs = TextOps.minhashDupPairs(base.unionByName(g1).unionByName(g2),
+      col("doc_id"), col("text"), minJaccard = 0.7)
+    val got = TextOps.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    // reference union-find over the same collected pair set
+    val ps = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    ps.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert(got.nonEmpty && got.keySet == parent.keySet)
+    got.foreach { case (id, keeper) => assert(keeper == find(id),
+      s"doc $id: got keeper $keeper, union-find says ${find(id)}") }
+  }
+
+  test("curate exactClusters=true drops whole components, not just pair maxima") {
+    val base = documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 40)
+    val g1 = base.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val g2 = base.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zz yy")).as("text"))
+    val all = base.unionByName(g1).unionByName(g2)
+    val (kept, pairs) = TextOps.curate(all, col("doc_id"), col("text"),
+      exactClusters = true)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val clusters = TextOps.dupClusters(pairs).as[(Long, Long)].collect()
+    // exactly the non-keeper members of every component are gone
+    clusters.foreach { case (id, keeper) =>
+      if (id == keeper) assert(keptIds.contains(id), s"keeper $id dropped")
+      else assert(!keptIds.contains(id), s"non-keeper $id kept")
+    }
+  }
+
   test("ANN buckets stay fine-grained at scale: no N/16 bucket") {
     val n = 1200
     val rnd = new scala.util.Random(11)
