@@ -94,17 +94,23 @@ object AnalyteExtract {
     * Intermediates are materialized as named columns (`${out}_*`) so
     * multi-analyte extraction does not re-inline the candidate chains
     * (Column-tree hygiene, see Pipeline); callers project them away.
-    * `fused` (default): one compiled [[AnalyteGather]] pass per
-    * (doc, analyte) — same fused/HOF-twin discipline as the TSH path;
-    * the q43 oracle checks the fused output against the independent
-    * Python implementation, and AnalyteSpec pins fused == HOF.
+    * `fused` (default): ONE compiled [[MultiAnalyteGather]] pass per
+    * document evaluates every config against a single normalize+split
+    * line walk (the per-analyte [[AnalyteGather]] would re-normalize
+    * the text once per analyte); the q43 oracle checks the fused output
+    * against the independent Python implementation, and AnalyteSpec
+    * pins fused == HOF and multi == per-analyte.
     */
   def withEntities(df: DataFrame, rawCol: String, out: String,
       cfgs: Seq[AnalyteConfig] = Secondary,
       fused: Boolean = true): DataFrame = {
-    val staged = cfgs.foldLeft(df) { (d, cfg) =>
+    val base =
+      if (fused) df.withColumn(s"${out}_all",
+        MultiAnalyteGather.of(col(rawCol), cfgs.map(c => (c.label, c.unit))))
+      else df
+    val staged = cfgs.zipWithIndex.foldLeft(base) { case (d, (cfg, ix)) =>
       d.withColumn(s"${out}_${cfg.name}_cands",
-          if (fused) AnalyteGather.of(col(rawCol), cfg.label, cfg.unit)
+          if (fused) get(col(s"${out}_all"), lit(ix))
           else labelledCandidates(col(rawCol), cfg.label, cfg.unit))
         .withColumn(s"${out}_${cfg.name}_best",
           best(col(s"${out}_${cfg.name}_cands")))

@@ -166,3 +166,68 @@ object AnalyteGather {
         org.apache.spark.sql.functions.lit(""))), labelRe, unitRe))
   }
 }
+
+/** Single-pass MULTI-analyte gather: every configured analyte evaluated
+  * against ONE normalize+split line walk per document. The per-analyte
+  * [[AnalyteGather]] re-runs `GatherCore.linesOf` (the N1 regex
+  * normalize + split over the whole text) once per analyte — O(text ·
+  * analytes); this pass is O(text + lines · analytes), which at the
+  * north_star's "lab-report entities" breadth (tens to hundreds of
+  * analytes) is the difference between one and N normalize passes over
+  * every document. Returns one candidate array per config, in config
+  * order; element i is byte-identical to `AnalyteGather(raw,
+  * configs(i))` (pinned by AnalyteSpec, cross-checked by the q43
+  * independent-Python oracle through `AnalyteExtract.withEntities`).
+  */
+case class MultiAnalyteGather(child: Expression, configs: Seq[(String, String)])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.ADT] =
+    Seq(org.apache.spark.sql.types.StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    TshGatherCandidates.schema, containsNull = false)
+  override def prettyName: String = "multi_analyte_gather"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("multiAnalyteGather", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.evalCore($c);"
+    })
+
+  @transient private lazy val labelPs = configs.map(c => Pattern.compile(c._1)).toArray
+  @transient private lazy val unitPs = configs.map(c => Pattern.compile(c._2)).toArray
+  @transient private lazy val numP = Pattern.compile(TshPatterns.Num)
+  @transient private lazy val rangeP = Pattern.compile(TshPatterns.Range)
+
+  override def nullSafeEval(input: Any): Any =
+    evalCore(input.asInstanceOf[UTF8String])
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(input: UTF8String): GenericArrayData = {
+    val lines = GatherCore.linesOf(input.toString) // ONCE, not per analyte
+    val arr = new Array[Any](labelPs.length)
+    var i = 0
+    while (i < labelPs.length) {
+      val out = new java.util.ArrayList[InternalRow]()
+      GatherCore.labelled(lines, labelPs(i), numP, rangeP, unitPs(i), out)
+      arr(i) = new GenericArrayData(out.toArray)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MultiAnalyteGather {
+  def of(raw: Column, configs: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(MultiAnalyteGather(Bridge.expression(
+      org.apache.spark.sql.functions.coalesce(raw,
+        org.apache.spark.sql.functions.lit(""))), configs))
+  }
+}

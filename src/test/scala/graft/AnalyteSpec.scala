@@ -47,6 +47,26 @@ class AnalyteSpec extends AnyFunSuite {
     assert(both.nonEmpty && both.forall { case (f, h) => f == h })
   }
 
+  test("single-pass MultiAnalyteGather == one AnalyteGather per config, byte-identical") {
+    val ocr = Pipeline.ocrAll(Corpus.generate(spark, 200)).toDF()
+    val cfgs = AnalyteExtract.Secondary
+    val multi = ocr.select(graft.extract.MultiAnalyteGather
+        .of(col("optimum_raw"), cfgs.map(c => (c.label, c.unit)))
+        .cast("string").as("m"))
+      .as[String].collect()
+    val single = ocr.select(array(cfgs.map(c =>
+        graft.extract.AnalyteGather.of(col("optimum_raw"), c.label, c.unit)): _*)
+        .cast("string").as("s"))
+      .as[String].collect()
+    assert(multi.nonEmpty && multi.toSeq == single.toSeq)
+    // null raw behaves like the per-analyte path: one empty array per cfg
+    val nullRow = Seq(Option.empty[String]).toDF("raw")
+      .select(graft.extract.MultiAnalyteGather
+        .of(col("raw"), cfgs.map(c => (c.label, c.unit))).cast("string"))
+      .as[String].head()
+    assert(nullRow == Seq.fill(cfgs.length)("[]").mkString("[", ", ", "]"))
+  }
+
   test("secondary analytes recover the seeded corpus values") {
     val docs = Corpus.generate(spark, 200)
     val ents = AnalyteExtract.withEntities(
