@@ -73,7 +73,15 @@ object Bench {
     val extractSec = trials.map(_._1).min
     val docsPerSec = benchDocs / extractSec
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Query sweep, self-evidencing like the extraction trials (BENCH_r03
+    // recorded 22 s for a 2 s query off a single steal-burst sample):
+    // every timing carries its /proc/stat steal share, and any query
+    // whose time exceeds 3x the session median — or whose trial saw
+    // steal — is re-trialed (up to 3 trials, best kept), so no recorded
+    // time is a single unwitnessed sample of a degraded host.
+    def qTrial(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): (Double, Double) = {
+      val (s0, t0) = cpuTicks()
       val sec = try time(fn(spark, sfDir).count())
       catch { case e: Throwable =>
         // record the failure (-1) but never hide it: a silently-swallowed
@@ -81,11 +89,33 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: $e")
         -1.0
       }
+      val (s1, t1) = cpuTicks()
       // queries that cache (minhash band base, media assets) must not
       // leak BlockManager storage into later timings
       spark.catalog.clearCache()
-      name -> sec
+      (sec, if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0)
     }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn, qTrial(fn, name))
+    }
+    val okTimes = firstPass.map(_._3._1).filter(_ >= 0).sorted
+    val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
+    val evidence = firstPass.map { case (name, fn, first) =>
+      val trials = scala.collection.mutable.ArrayBuffer(first)
+      def best = trials.map(_._1).filter(_ >= 0).minOption.getOrElse(-1.0)
+      def flagged = best > 3 * median || trials.last._2 > 1.0
+      // two agreeing trials = the query is genuinely that heavy (a
+      // steal burst does not reproduce); disagreeing trials keep going
+      def converged = trials.size >= 2 && {
+        val ts = trials.map(_._1).filter(_ >= 0).sorted
+        ts.size >= 2 && ts(1) <= ts(0) * 1.25
+      }
+      while (trials.size < 3 && best >= 0 && flagged && !converged) {
+        trials += qTrial(fn, name)
+      }
+      (name, best, trials.toSeq)
+    }
+    val results = evidence.map { case (name, best, _) => name -> best }
 
     // audited skew-aware job: per-bucket wall from the audit records —
     // the round-over-round skew-regression signal (BENCH.md table).
@@ -118,9 +148,16 @@ object Bench {
         java.lang.Double.valueOf(x))).mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query evidence: every trial's (sec, steal_pct) — a reader can
+    // judge each recorded best from the artifact alone
+    val qev = evidence.map { case (name, _, ts) =>
+      "\"" + name + "\":{\"trials\":" + arr(ts.map(_._1)) +
+        ",\"steal_pct\":" + arr(ts.map(_._2)) + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + extractSec
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_median_sec":$median,"query_evidence":$qev,""" +
       s""""extract_docs":$benchDocs,"extract_sec":$extractSec,""" +
       s""""extract_docs_per_sec":$docsPerSec,""" +
       s""""extract_trials":${arr(trials.map(_._1).toSeq)},""" +

@@ -139,7 +139,7 @@ object TextOps {
     */
   def simhashDupPairs(docs: DataFrame, id: Column, text: Column,
       bands: Int = 4, maxHamming: Int = 3, maxBucket: Int = 4096,
-      fused: Boolean = true): DataFrame = {
+      fused: Boolean = true, staging: Option[String] = None): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming vs $bands)")
     // bands=1 would wrap the band mask to 0 (one global bucket -> a full
@@ -149,13 +149,14 @@ object TextOps {
       s"bands must be >= 2 and divide 64, got $bands")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val base = docs.select(id.as("id"), simhash(text, fused).as("sh"))
-      .withColumn("bk", explode_outer(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))
-            .as("bucket"))): _*)))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket"))
-      .cache() // caller owns the lifecycle (see minhashDupPairs)
+    val base = Staging.materialize(
+      docs.select(id.as("id"), simhash(text, fused).as("sh"))
+        .withColumn("bk", explode_outer(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))
+              .as("bucket"))): _*)))
+        .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket")),
+      staging, "simhash_base") // lifecycle: see minhashDupPairs / Staging
     val salted =
       Buckets.saltOversized(base, Seq("band", "bucket"), col("id"), maxBucket)
     val a = salted.select(col("band"), col("bucket"), col("__salt"),
@@ -245,27 +246,30 @@ object TextOps {
   def minhashDupPairs(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, m: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5, maxBucket: Int = 4096,
-      fused: Boolean = true): DataFrame = {
+      fused: Boolean = true, staging: Option[String] = None): DataFrame = {
     // explode_outer: band-key arrays are never empty, and plain explode
     // lets InferFiltersFromGenerate push a filter that re-inlines the
     // whole minhash expression tree (see Pipeline.extractRows).
     // The rerank carries shingle HASHES (longs), not shingle strings —
     // same Jaccard modulo 64-bit collisions, far cheaper to shuffle and
     // intersect.
-    val base = docs.select(id.as("id"), shingleHashSet(text, n, fused).as("hs"))
-      .withColumn("sig", signature(col("hs"), m, fused))
-      .withColumn("bk", explode_outer(
-        if (fused) MinhashBandKeys.of(col("sig"), bands)
-        else lshBandKeys(col("sig"), m, bands)))
-      .select(col("id"), col("hs"), col("bk.band"), col("bk.bucket"))
-      // materialization barrier: the self-join would otherwise recompute
-      // the minhash chain per side AND pull inlined copies of it into
-      // pushed-down join-key constraints. Cache lifecycle is the
-      // CALLER's: unpersist via spark.catalog.clearCache() (Bench does)
-      // or materialize `base` as a table at 100 TB — a long-lived
-      // session invoking this repeatedly accumulates BlockManager
-      // storage otherwise.
-      .cache()
+    //
+    // Materialization barrier ([[Staging]]): the self-join would
+    // otherwise recompute the minhash chain per side AND pull inlined
+    // copies of it into pushed-down join-key constraints. Default is
+    // `.cache()` with a CALLER-owned lifecycle (unpersist via
+    // spark.catalog.clearCache(), as Bench does); pass `staging` to
+    // write/read a parquet staging table instead — the 100 TB encoding,
+    // and the one long-lived sessions should use so repeated invocations
+    // accumulate no BlockManager storage.
+    val base = Staging.materialize(
+      docs.select(id.as("id"), shingleHashSet(text, n, fused).as("hs"))
+        .withColumn("sig", signature(col("hs"), m, fused))
+        .withColumn("bk", explode_outer(
+          if (fused) MinhashBandKeys.of(col("sig"), bands)
+          else lshBandKeys(col("sig"), m, bands)))
+        .select(col("id"), col("hs"), col("bk.band"), col("bk.bucket")),
+      staging, "minhash_base")
     val salted =
       Buckets.saltOversized(base, Seq("band", "bucket"), col("id"), maxBucket)
     val a = salted.select(col("band"), col("bucket"), col("__salt"),
@@ -339,16 +343,22 @@ object TextOps {
       lang: String = "en", minTokens: Int = 30, maxPunctRatio: Double = 0.2,
       n: Int = 3, m: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
       maxBucket: Int = 4096,
-      exactClusters: Boolean = false): (DataFrame, DataFrame) = {
+      exactClusters: Boolean = false,
+      staging: Option[String] = None): (DataFrame, DataFrame) = {
     val staged = curationStage(docs, id, text, lang, minTokens, maxPunctRatio)
-    // keepers feed BOTH the near-dup join and the final anti-join: cache
-    // so the regex-heavy hygiene projection and the exact-dedup shuffle
-    // run once (lifecycle is the caller's, like minhashDupPairs' base)
-    val keepers = dedupExact(staged, xxhash64(col("text")), col("doc_id")).cache()
+    // keepers feed BOTH the near-dup join and the final anti-join:
+    // materialize so the regex-heavy hygiene projection and the
+    // exact-dedup shuffle run once (default cache, lifecycle is the
+    // caller's; `staging` switches every barrier in the composition —
+    // this one, the minhash base, the cluster-propagation rounds — to
+    // parquet staging tables, see [[Staging]])
+    val keepers = Staging.materialize(
+      dedupExact(staged, xxhash64(col("text")), col("doc_id")),
+      staging, "curate_keepers")
     val pairs = minhashDupPairs(keepers, col("doc_id"), col("text"),
-      n, m, bands, minJaccard, maxBucket)
+      n, m, bands, minJaccard, maxBucket, staging = staging)
     val dropIds =
-      if (exactClusters) clusterDropIds(pairs)
+      if (exactClusters) clusterDropIds(pairs, staging)
       else pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
     val kept = keepers.join(dropIds, Seq("doc_id"), "left_anti").drop("text")
     (kept, pairs)
@@ -435,11 +445,12 @@ object TextOps {
     */
   def dedupCascade(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, m: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
-      maxBucket: Int = 4096, fused: Boolean = true): (DataFrame, DataFrame) = {
+      maxBucket: Int = 4096, fused: Boolean = true,
+      staging: Option[String] = None): (DataFrame, DataFrame) = {
     val named = docs.select(id.as("id"), text.as("text"))
     val reps = dedupExact(named, xxhash64(col("text")), col("id"))
     val pairs = minhashDupPairs(reps, col("id"), col("text"),
-      n, m, bands, minJaccard, maxBucket, fused)
+      n, m, bands, minJaccard, maxBucket, fused, staging)
     (pairs, exactDupGroups(named, xxhash64(col("text")), col("id")))
   }
 }

@@ -213,12 +213,15 @@ object VectorOps {
     */
   def cosineDupPairs(corpus: DataFrame, minCos: Double,
       nPlanes: Int = 16, tables: Int = 4, maxBucket: Int = 4096,
-      fused: Boolean = true): DataFrame = {
+      fused: Boolean = true, staging: Option[String] = None): DataFrame = {
     requirePlanes(nPlanes)
-    val keyed = vecAsDouble(corpus, "embedding").select(col("vec_id"), col("embedding"))
-      .withColumn("bk", explode_outer(lshKeys(col("embedding"), nPlanes, tables, fused)))
-      .select(col("vec_id"), col("embedding"), col("bk.table"), col("bk.bucket"))
-      .cache() // caller owns the lifecycle (see TextOps.minhashDupPairs)
+    // barrier default .cache(), caller-owned; `staging` stages through
+    // parquet instead (see TextOps.minhashDupPairs / Staging)
+    val keyed = Staging.materialize(
+      vecAsDouble(corpus, "embedding").select(col("vec_id"), col("embedding"))
+        .withColumn("bk", explode_outer(lshKeys(col("embedding"), nPlanes, tables, fused)))
+        .select(col("vec_id"), col("embedding"), col("bk.table"), col("bk.bucket")),
+      staging, "cosine_base")
     // hot-bucket bound (see Buckets): a cluster of identical/mirrored
     // embeddings shares every sign bit, so ONE bucket per table holds the
     // whole cluster — exactly the M^2 blowup the salt bounds. Collapse

@@ -85,21 +85,45 @@ object StreamingExtract {
     * stored signatures by estimated Jaccard (matching signature slots /
     * m — the standard MinHash estimator; the stream cannot keep full
     * shingle sets): a hit emits (doc_id, dup_of, est_jaccard) and the
-    * dup is NOT stored (the first-seen keeper stays, like
-    * first-seen-wins exact dedup); a miss is stored if the bucket has
-    * room. A doc colliding with the same keeper in several bands emits
-    * once per band — consumers dedupe by (doc_id, dup_of), exactly as
-    * the batch path dropDuplicates before its rerank.
+    * doc is not stored IN THAT BUCKET; a miss is stored if the bucket
+    * has room. The keeper guarantee is PER (band, bucket): state is
+    * partitioned by bucket with no cross-group coordination, so a doc
+    * that matched in one band's bucket may still be stored as a keeper
+    * in another band's bucket, and later arrivals can be reported as
+    * dup_of a doc that is itself a dup (a non-canonical transitive
+    * chain). Consumers needing canonical cluster keepers run the batch
+    * [[graft.analysis.TextOps.dupClusters]] min-id propagation over the
+    * emitted pair stream. A doc colliding with the same keeper in
+    * several bands emits once per band — consumers dedupe by (doc_id,
+    * dup_of), exactly as the batch path dropDuplicates before its
+    * rerank.
     *
     * Determinism: rows within a (bucket, micro-batch) are processed in
     * doc_id order (the per-bucket batch is buffered — bounded by the
     * micro-batch, not the stream). Re-ingests of a stored keeper are
     * dropped silently. Compose exact dedup upstream for the same reason
     * the batch cascade does.
+    *
+    * State TTL: `stateTtlMs > 0` switches to a processing-time timeout —
+    * a (band, bucket) whose state saw no traffic for the TTL is evicted
+    * wholesale on the next trigger, so the keyspace itself (the one
+    * unbounded dimension once per-bucket lists are capped) stays
+    * proportional to the RECENTLY-ACTIVE buckets rather than growing for
+    * the checkpoint's life. Eviction trades recall for state: a dup of
+    * an evicted keeper is re-learned as a fresh keeper (documented, not
+    * silent — the same recall contract as [[graft.analysis.Buckets]]).
+    * The TTL clock resets on every batch that touches the bucket.
+    * Deployment note: registered processing-time timeouts make the
+    * engine schedule no-data micro-batches to fire them — run TTL'd
+    * queries with a real trigger interval (or
+    * `spark.sql.streaming.noDataMicroBatches.enabled=false`, which
+    * defers eviction to the next data batch); the default continuous
+    * trigger would spin batches back-to-back while any timeout is
+    * pending.
     */
   def nearDupStream(spark: SparkSession, inDir: String, n: Int = 3,
       m: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5,
-      maxPerBucket: Int = 64): DataFrame = {
+      maxPerBucket: Int = 64, stateTtlMs: Long = 0L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.analysis.{MinhashSignature, ShingleHashes, TextOps}
@@ -109,30 +133,39 @@ object StreamingExtract {
       .withColumn("bk", explode_outer(TextOps.lshBandKeys(col("sig"), m, bands)))
       .select(col("bk.band"), col("bk.bucket"), col("doc_id"), col("sig"))
       .as[(Int, Long, Long, Seq[Long])]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     keyed.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[List[(Long, Seq[Long])], (Long, Long, Double)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case (_, rows, state: GroupState[List[(Long, Seq[Long])]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[(Long, Long, Double)]
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
-            if (!seen.exists(_._1 == id)) { // keeper re-ingest: silent drop
-              val best = seen.iterator.map { case (sid, ssig) =>
-                val matches = sig.iterator.zip(ssig.iterator)
-                  .count { case (a, b) => a == b }
-                (sid, matches.toDouble / m)
-              }.filter(_._2 >= minEstJaccard)
-                .reduceOption((a, b) =>
-                  if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
-              best match {
-                case Some((sid, est)) => out += ((id, sid, est))
-                case None =>
-                  if (seen.size < maxPerBucket) seen = seen :+ ((id, sig))
+          if (state.hasTimedOut) { // idle past the TTL: evict wholesale
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[(Long, Long, Double)]
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+              if (!seen.exists(_._1 == id)) { // keeper re-ingest: silent drop
+                val best = seen.iterator.map { case (sid, ssig) =>
+                  val matches = sig.iterator.zip(ssig.iterator)
+                    .count { case (a, b) => a == b }
+                  (sid, matches.toDouble / m)
+                }.filter(_._2 >= minEstJaccard)
+                  .reduceOption((a, b) =>
+                    if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+                best match {
+                  case Some((sid, est)) => out += ((id, sid, est))
+                  case None =>
+                    if (seen.size < maxPerBucket) seen = seen :+ ((id, sig))
+                }
               }
             }
+            state.update(seen)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }.toDF("doc_id", "dup_of", "est_jaccard")
   }
 }

@@ -30,6 +30,34 @@ class AnalysisSpec extends AnyFunSuite {
     pairs.foreach(p => assert(p._3 >= 0.8 && p._3 <= 1.0))
   }
 
+  test("staged dup-join base: parquet staging == cache, base readable back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    val base = documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val dups = base.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"))
+    val docs = base.unionByName(dups)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val cached = canon(TextOps.minhashDupPairs(docs, col("doc_id"), col("text")))
+    val staged = canon(TextOps.minhashDupPairs(docs, col("doc_id"), col("text"),
+      staging = Some(dir)))
+    assert(staged == cached && staged.nonEmpty)
+    // the staged base is a real parquet table a resumed/long-lived job
+    // can read back: (id, hs, band, bucket), one row per (doc, band)
+    val back = spark.read.parquet(s"$dir/minhash_base")
+    assert(back.columns.toSeq == Seq("id", "hs", "band", "bucket"))
+    assert(back.count() == docs.count() * 4) // bands = 4 default
+    // the composed curate() stages every barrier under the same dir
+    val (kept, pairs) = TextOps.curate(documents.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), staging = Some(dir), exactClusters = true)
+    val (keptC, pairsC) = TextOps.curate(documents.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), exactClusters = true)
+    assert(canon(pairs) == canon(pairsC))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      keptC.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(new java.io.File(s"$dir/curate_keepers").exists())
+  }
+
   test("fused ShingleHashes == HOF chain (hash sets identical, order too)") {
     val both = documents.select(
       graft.analysis.ShingleHashes.of(TextOps.tokens(col("text")), 3).as("fused"),

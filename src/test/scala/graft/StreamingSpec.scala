@@ -102,4 +102,62 @@ class StreamingSpec extends AnyFunSuite {
       "a re-ingested keeper re-emitted as its own duplicate")
     pairs.foreach(p => assert(p._3 >= 0.5 && p._3 <= 1.0))
   }
+
+  test("streaming near-dup state TTL: idle buckets evict, then re-learn cleanly") {
+    val dir = Files.createTempDirectory("graft-sttl").toString
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") === 0).cache()
+    val baseText = base.select("text").as[String].head()
+    // batch 1: doc 0 becomes the stored keeper in its buckets
+    base.write.parquet(s"$dir/in/b1")
+    // no-data micro-batches off for this query: with them on, the engine
+    // spins batches continuously while any processing-time timeout is
+    // registered (processAllAvailable never observes an idle trigger);
+    // with them off, timeouts fire deterministically on the next DATA
+    // batch — which is also the eviction semantics the test pins down
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = StreamingExtract.nearDupStream(spark, s"$dir/in/*",
+        stateTtlMs = 5000L)
+      .writeStream.format("memory").queryName("graft_ttl_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(6000) // let doc 0's buckets idle past the TTL
+      // batch 2: unrelated traffic — its trigger fires the expired
+      // timeouts, evicting doc 0's bucket state
+      Seq((777L, "completely unrelated filler words about gardens rivers " +
+        "mountains clouds pebbles lanterns harvest meadows"))
+        .toDF("doc_id", "text").write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+      // batch 3: a near-dup of the EVICTED keeper — must be re-learned
+      // as a fresh keeper (no emission against doc 0); arrives well
+      // inside the 5 s TTL of nothing relevant (its bucket is empty)
+      Seq((1000L, baseText + " zz")).toDF("doc_id", "text")
+        .write.parquet(s"$dir/in/b3")
+      q.processAllAvailable()
+      // batch 4: clone of the re-learned keeper -> resolves against it,
+      // proving the evicted bucket relearned and detects again (batches
+      // 3-4 are seconds apart — far inside the new keeper's TTL)
+      Seq((2000L, baseText + " zz")).toDF("doc_id", "text")
+        .write.parquet(s"$dir/in/b4")
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+    val pairs = spark.table("graft_ttl_out")
+      .select("doc_id", "dup_of", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    // eviction happened: the batch-3 near-dup did NOT match the evicted
+    // keeper (had state survived, (1000, 0, ~1.0) would have emitted)
+    assert(!pairs.exists(_._2 == 0L),
+      s"evicted keeper still matched: $pairs")
+    // re-learning happened, without duplicate emissions of the stored
+    // keeper itself: exactly the clone resolves, against the NEW keeper
+    assert(pairs.map(p => (p._1, p._2)).distinct == Seq((2000L, 1000L)),
+      s"expected clone->relearned-keeper only, got $pairs")
+    assert(pairs.forall(_._3 == 1.0))
+  }
 }
