@@ -306,8 +306,28 @@ object TextOps {
   def curationFilter(docs: DataFrame, id: Column, text: Column,
       lang: String = "en", minTokens: Int = 30,
       maxPunctRatio: Double = 0.2): DataFrame =
-    dedupExact(curationStage(docs, id, text, lang, minTokens, maxPunctRatio),
-      xxhash64(col("text")), col("doc_id")).drop("text")
+    dedupStaged(curationStage(docs, id, text, lang, minTokens, maxPunctRatio),
+      docs, id, text).drop("text")
+
+  /** Exact-dedup a hygiene-FILTERED projection without paying the
+    * regex-heavy feature projection twice: the keeper side of
+    * [[dedupExact]]'s semi-join would otherwise re-run the whole
+    * filter+projection just to aggregate (key, min id). Because the
+    * filter is a pure function of the text and the dup key is
+    * `xxhash64(text)`, a key's rows either all pass or all fail — so
+    * keeper ids computed from the RAW table (hash + min only, no
+    * regexes) select exactly the same rows: keys of rejected texts
+    * simply semi-join against nothing. Same 2^-64 collision contract
+    * as every hash-keyed dedup here.
+    */
+  private def dedupStaged(staged: DataFrame, raw: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    val keepers = raw.groupBy(xxhash64(text).as("__k"))
+      .agg(min(id).as("__i"))
+    staged.join(keepers,
+      xxhash64(col("text")) <=> col("__k") && col("doc_id") === col("__i"),
+      "left_semi")
+  }
 
   /** Hygiene filter with the text column kept (shared by curationFilter
     * and the full curate() composition).
@@ -351,9 +371,10 @@ object TextOps {
     // exact-dedup shuffle run once (default cache, lifecycle is the
     // caller's; `staging` switches every barrier in the composition —
     // this one, the minhash base, the cluster-propagation rounds — to
-    // parquet staging tables, see [[Staging]])
+    // parquet staging tables, see [[Staging]]). Keeper ids come from
+    // the raw table ([[dedupStaged]]) so the hygiene regexes run once.
     val keepers = Staging.materialize(
-      dedupExact(staged, xxhash64(col("text")), col("doc_id")),
+      dedupStaged(staged, docs, id, text),
       staging, "curate_keepers")
     val pairs = minhashDupPairs(keepers, col("doc_id"), col("text"),
       n, m, bands, minJaccard, maxBucket, staging = staging)
