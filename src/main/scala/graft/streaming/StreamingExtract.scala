@@ -54,18 +54,33 @@ object StreamingExtract {
     * training-data ingest needs; state per key is one boolean, so the
     * state store stays tiny no matter the corpus (at 10^12 docs the
     * keyspace itself is the cost — shard by doc_id hash range, which
-    * the groupByKey shuffle already does).
+    * the groupByKey shuffle already does). `stateTtlMs > 0` bounds that
+    * keyspace with a processing-time timeout, same contract and trigger
+    * caveat as [[nearDupStream]]: a doc re-ingested after its key idled
+    * past the TTL is emitted again (recall loss is documented, not
+    * silent).
     */
-  def dedupStream(spark: SparkSession, inDir: String) = {
+  def dedupStream(spark: SparkSession, inDir: String,
+      stateTtlMs: Long = 0L) = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     spark.readStream.schema(docsSchema).parquet(inDir).as[DocRow]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState[Boolean, DocRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (_: String, rows: Iterator[DocRow], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else { state.update(true); rows.take(1) }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            Iterator.empty
+          } else {
+            state.update(true)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            rows.take(1)
+          }
       }
   }
 

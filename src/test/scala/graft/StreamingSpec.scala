@@ -103,6 +103,40 @@ class StreamingSpec extends AnyFunSuite {
     pairs.foreach(p => assert(p._3 >= 0.5 && p._3 <= 1.0))
   }
 
+  test("streaming exact-dedup state TTL: idle keys evict, re-ingest re-emits") {
+    val dir = Files.createTempDirectory("graft-dttl").toString
+    import spark.implicits._
+    Corpus.generate(spark, 3).write.parquet(s"$dir/in/b1")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = StreamingExtract.dedupStream(spark, s"$dir/in/*", stateTtlMs = 3000L)
+      .writeStream.format("memory").queryName("graft_dttl_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // immediate re-ingest: still deduped (state alive, TTL reset)
+      Corpus.generate(spark, 3).write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+      Thread.sleep(4000) // idle past the TTL
+      // unrelated doc's trigger evicts the idle keys...
+      Corpus.generate(spark, 5).filter(col("doc_id") >= "doc00000004")
+        .write.parquet(s"$dir/in/b3")
+      q.processAllAvailable()
+      // ...so a later re-ingest is emitted again (documented recall loss)
+      Corpus.generate(spark, 1).write.parquet(s"$dir/in/b4")
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+    val ids = spark.table("graft_dttl_out")
+      .select("doc_id").as[String].collect().toSeq.sorted
+    // 3 first-seen + 1 unrelated + doc0 re-emitted post-eviction; the
+    // pre-TTL re-ingest (b2) emitted nothing
+    assert(ids == Seq("doc00000000", "doc00000000", "doc00000001",
+      "doc00000002", "doc00000004"), s"got $ids")
+  }
+
   test("streaming near-dup state TTL: idle buckets evict, then re-learn cleanly") {
     val dir = Files.createTempDirectory("graft-sttl").toString
     import spark.implicits._
