@@ -181,6 +181,30 @@ object SparkEntry {
         (col("doc_id") +: cols :+ TextOps.langIdBest(col("text")).as("lang_pred")): _*)
     }),
 
+    "q52_strip_markup" -> ((s, d) => {
+      // main-content extraction (north_rule: HTML boilerplate strip):
+      // deterministic HTML wrapping synthesized in-query, stripped by
+      // the expression-only TextOps.stripMarkup; the oracle runs the
+      // SAME RE2-safe regex chain in DuckDB over the same wrapping
+      val html = concat(
+        lit("<html><head><style type=\"text/css\">body{color:#000}</style>" +
+          "<script>if(1&lt;2){a=&quot;x&quot;;}</script></head><body><h1>Doc</h1><p>"),
+        col("text"),
+        lit("</p><!-- footer --><div>&amp; more &lt;tags&gt;&nbsp;here</div></body></html>"))
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.stripMarkup(html).as("clean"))
+    }),
+
+    "q53_strip_boilerplate" -> ((s, d) => {
+      // line-frequency boilerplate removal: nav header + legal footer
+      // injected into EVERY doc (so they cross the minDocs bar), body
+      // lines survive; output is the kept (doc_id, line_no, line) rows
+      val wrapped = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("HOME | ABOUT | CONTACT\n"), col("text"),
+          lit("\n(c) example corp - all rights reserved")).as("text"))
+      TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"), minDocs = 100L)
+    }),
+
     "q22_jaccard_pairs" -> ((s, d) => {
       // 1-gram Jaccard on a small doc sample (cross-engine form of the
       // n-gram near-dup rerank; n=3 variant is ScalaTest-validated)
@@ -569,6 +593,36 @@ object SparkEntry {
         "len(regexp_extract_all(lower(text), '\\b(?:der|die|das|und|ist)\\b')) AS s_de, " +
         "len(regexp_extract_all(lower(text), '\\b(?:el|los|las|es|una)\\b')) AS s_es " +
         "FROM documents)"),
+
+    // the SAME RE2-safe regex chain as TextOps.stripMarkup, over the
+    // same in-query HTML wrapping (single-quoted literals: '' = ')
+    "q52_strip_markup" ->
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+        "replace(replace(replace(replace(replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "'<html><head><style type=\"text/css\">body{color:#000}</style>" +
+        "<script>if(1&lt;2){a=&quot;x&quot;;}</script></head><body><h1>Doc</h1><p>' " +
+        "|| text || " +
+        "'</p><!-- footer --><div>&amp; more &lt;tags&gt;&nbsp;here</div></body></html>', " +
+        "'(?is)<script[^>]*>.*?</script>', '', 'g'), " +
+        "'(?is)<style[^>]*>.*?</style>', '', 'g'), " +
+        "'(?s)<!--.*?-->', '', 'g'), " +
+        "'(?i)</?(?:p|div|br|li|ul|ol|tr|table|h[1-6]|section|article|header|footer)[^>]*>', chr(10), 'g'), " +
+        "'<[^>]+>', '', 'g'), " +
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&amp;', '&'), " +
+        "'[ \\t]+', ' ', 'g'), " +
+        "' *\\n+ *', chr(10), 'g'), ' ' || chr(10)) AS clean FROM documents"),
+
+    "q53_strip_boilerplate" ->
+      ("WITH wrapped AS (SELECT doc_id, 'HOME | ABOUT | CONTACT' || chr(10) " +
+        "|| text || chr(10) || '(c) example corp - all rights reserved' AS text " +
+        "FROM documents), " +
+        "lines AS (SELECT doc_id, " +
+        "unnest(range(0, len(string_split(text, chr(10))))) AS line_no, " +
+        "unnest(string_split(text, chr(10))) AS line FROM wrapped), " +
+        "freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1) " +
+        "SELECT l.doc_id, l.line_no, l.line FROM lines l " +
+        "JOIN freq f USING (line) WHERE f.n_docs < 100"),
 
     "q22_jaccard_pairs" ->
       ("SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +

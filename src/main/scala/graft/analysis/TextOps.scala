@@ -95,6 +95,79 @@ object TextOps {
     }("l")
   }
 
+  // ---- markup strip / boilerplate removal (main-content extraction) --------
+  /** HTML/markup -> main-content text, expression-only (north_rule's
+    * "HTML boilerplate strip" surface): drop script/style/comment
+    * blocks wholesale, turn block-level tags into line breaks, strip
+    * remaining tags, decode the common entities (AFTER tag-strip, so a
+    * decoded `&lt;tag&gt;` survives as literal text), collapse runs of
+    * spaces and blank lines. Pure per-row projection — map-only at any
+    * scale — and every pattern stays in the RE2-compatible subset (no
+    * backreferences/lookaround) so the DuckDB oracle runs the exact
+    * same regexes (q52).
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val blockNl = regexp_replace(noComment,
+      "(?i)</?(?:p|div|br|li|ul|ol|tr|table|h[1-6]|section|article|header|footer)[^>]*>",
+      "\n")
+    val noTags = regexp_replace(blockNl, "<[^>]+>", "")
+    val ent = replace(replace(replace(replace(replace(noTags,
+      lit("&nbsp;"), lit(" ")), lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&amp;"), lit("&"))
+    val sp = regexp_replace(ent, "[ \\t]+", " ")
+    // trim(col) strips SPACES only — pass the trim set to drop the
+    // leading/trailing line breaks the block-tag rewrite leaves behind
+    trim(regexp_replace(sp, " *\\n+ *", "\n"), " \n")
+  }
+
+  /** One (doc_id, line_no, line, line_key) row per line of each doc —
+    * the shared base of the line-frequency boilerplate pass.
+    */
+  private def explodedLines(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+        col("line"), xxhash64(col("line")).as("line_key"))
+
+  /** Line-frequency boilerplate detection (the DOM-free heuristic that
+    * works on OCR'd and plain text too): a line appearing in >=
+    * `minDocs` DISTINCT documents is boilerplate (nav bars, footers,
+    * legal lines — content lines don't repeat across a corpus).
+    * Returns (line_key, n_docs) per boilerplate line.
+    *
+    * Shape at 10^12 docs: two partial-agg shuffles on 8-byte keys —
+    * (line_key, doc_id) collapse, then count per line_key — no text in
+    * any exchange and no window anywhere; the ubiquitous line (every
+    * doc's empty line) costs one row per map task per stage, same
+    * argument as [[dedupExact]].
+    */
+  def boilerplateLines(docs: DataFrame, id: Column, text: Column,
+      minDocs: Long): DataFrame =
+    explodedLines(docs, id, text)
+      .groupBy(col("line_key"), col("doc_id")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("line_key")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Strip corpus-frequent boilerplate lines from every document:
+    * [[boilerplateLines]] anti-joined back onto the exploded lines (the
+    * boilerplate side is tiny by construction — distinct lines crossing
+    * the minDocs bar — so AQE broadcasts it; a pathological corpus
+    * degrades to an SMJ on the 8-byte key). Returns the kept lines as
+    * (doc_id, line_no, line) — callers reassemble with
+    * `groupBy(doc_id).agg(concat_ws("\n", array_sort...))` when they
+    * need the flat text, or feed the lines straight to the per-line
+    * operators above.
+    */
+  def stripBoilerplate(docs: DataFrame, id: Column, text: Column,
+      minDocs: Long): DataFrame =
+    explodedLines(docs, id, text)
+      .join(boilerplateLines(docs, id, text, minDocs), Seq("line_key"),
+        "left_anti")
+      .select(col("doc_id"), col("line_no"), col("line"))
+
   // ---- fingerprinting ------------------------------------------------------
   /** Order-sensitive rolling document fingerprint (hash chaining over
     * tokens), expression-only via aggregate HOF. Chaining instead of a

@@ -30,6 +30,44 @@ class AnalysisSpec extends AnyFunSuite {
     pairs.foreach(p => assert(p._3 >= 0.8 && p._3 <= 1.0))
   }
 
+  test("stripMarkup: script/style/comment blocks, block tags, entities, ws") {
+    val html = "<html><head><STYLE media=\"x\">p{}</STYLE><script src=\"a.js\">" +
+      "var x = '<p>not content</p>';</script></head><body>\n" +
+      "<h1 class=\"t\">Title</h1><!-- hidden\ntext --><p>Hello   world</p>" +
+      "<DIV>A &amp; B &lt;kept&gt;&nbsp;C</DIV><span>inline</span></body></html>"
+    val got = Seq(html).toDF("h")
+      .select(TextOps.stripMarkup(col("h"))).as[String].head()
+    // block tags become line breaks; span is inline (no break); the
+    // decoded &lt;kept&gt; survives because entities decode AFTER
+    // tag-strip; script content (incl. its embedded markup) is gone
+    assert(got == "Title\nHello world\nA & B <kept> C\ninline", s"got [$got]")
+    // plain text with no markup passes through (modulo ws collapse)
+    val plain = Seq("two  spaces and\n\n\nblank  runs").toDF("h")
+      .select(TextOps.stripMarkup(col("h"))).as[String].head()
+    assert(plain == "two spaces and\nblank runs", s"got [$plain]")
+  }
+
+  test("boilerplate strip: corpus-frequent lines drop, content lines survive") {
+    // 50 docs share header+footer; each has a unique body line; one
+    // body line repeats in exactly minDocs-1 docs and must SURVIVE
+    val docs = (0 until 50).map { i =>
+      val nearMiss = if (i < 9) "\nalmost boilerplate" else ""
+      (i.toLong, s"SITE NAV | HOME\nunique content line $i$nearMiss\n(c) footer 2026")
+    }.toDF("doc_id", "text")
+    val bp = TextOps.boilerplateLines(docs, col("doc_id"), col("text"), minDocs = 10L)
+    assert(bp.count() == 2, "exactly header and footer are boilerplate")
+    val kept = TextOps.stripBoilerplate(docs, col("doc_id"), col("text"), minDocs = 10L)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(kept.size == 50 + 9, s"got ${kept.size}")
+    assert(kept.forall { case (id, _, l) =>
+      l == s"unique content line $id" || l == "almost boilerplate" })
+    // line_no preserves in-doc position of kept lines
+    assert(kept.filter(_._1 == 0L).map(_._2).sorted == Seq(1L, 2L))
+    // threshold edge: at minDocs = 9 the near-miss line becomes boilerplate
+    assert(TextOps.stripBoilerplate(docs, col("doc_id"), col("text"), 9L)
+      .count() == 50)
+  }
+
   test("staged dup-join base: parquet staging == cache, base readable back") {
     val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString
     val base = documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
