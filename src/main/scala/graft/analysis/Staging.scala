@@ -14,7 +14,11 @@ import org.apache.spark.sql.DataFrame
   *    `checkpointDir`): nothing rides executor memory, the barrier
   *    survives executor loss, a long-lived session accumulates no
   *    BlockManager storage, and the staged base is independently
-  *    inspectable/resumable. Caller owns the directory's lifecycle.
+  *    inspectable/resumable. Caller owns the directory's lifecycle —
+  *    and must pass a DISTINCT dir per invocation: table names under
+  *    the dir are fixed per operator ("minhash_base",
+  *    "curate_keepers", ...), so two concurrent calls sharing a dir
+  *    would overwrite each other's staging tables.
   */
 private[analysis] object Staging {
 

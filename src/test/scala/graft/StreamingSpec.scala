@@ -108,7 +108,9 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     Corpus.generate(spark, 3).write.parquet(s"$dir/in/b1")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val q = StreamingExtract.dedupStream(spark, s"$dir/in/*", stateTtlMs = 3000L)
+    // TTL is generous vs the inter-batch latency (a loaded host must
+    // not open an accidental idle window between consecutive batches)
+    val q = StreamingExtract.dedupStream(spark, s"$dir/in/*", stateTtlMs = 8000L)
       .writeStream.format("memory").queryName("graft_dttl_out")
       .option("checkpointLocation", s"$dir/ckpt")
       .start()
@@ -117,7 +119,7 @@ class StreamingSpec extends AnyFunSuite {
       // immediate re-ingest: still deduped (state alive, TTL reset)
       Corpus.generate(spark, 3).write.parquet(s"$dir/in/b2")
       q.processAllAvailable()
-      Thread.sleep(4000) // idle past the TTL
+      Thread.sleep(9000) // idle past the TTL
       // unrelated doc's trigger evicts the idle keys...
       Corpus.generate(spark, 5).filter(col("doc_id") >= "doc00000004")
         .write.parquet(s"$dir/in/b3")
@@ -151,14 +153,16 @@ class StreamingSpec extends AnyFunSuite {
     // with them off, timeouts fire deterministically on the next DATA
     // batch — which is also the eviction semantics the test pins down
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // TTL generous vs inter-batch latency, same reasoning as the
+    // exact-dedup TTL test above
     val q = StreamingExtract.nearDupStream(spark, s"$dir/in/*",
-        stateTtlMs = 5000L)
+        stateTtlMs = 8000L)
       .writeStream.format("memory").queryName("graft_ttl_out")
       .option("checkpointLocation", s"$dir/ckpt")
       .start()
     try {
       q.processAllAvailable()
-      Thread.sleep(6000) // let doc 0's buckets idle past the TTL
+      Thread.sleep(9000) // let doc 0's buckets idle past the TTL
       // batch 2: unrelated traffic — its trigger fires the expired
       // timeouts, evicting doc 0's bucket state
       Seq((777L, "completely unrelated filler words about gardens rivers " +
