@@ -30,7 +30,10 @@ object TextOps {
       .agg(count(lit(1)).as("n_dups"), min(id).as("keeper_id"))
 
   /** Keep one doc per exact-dup key (deterministic keeper = min id;
-    * `id` must be unique per row — every call site uses a primary key).
+    * `id` must be unique AND non-null per row — every call site uses a
+    * primary key. A null id never equals min(id), so null-id rows drop
+    * instead of deduping — unlike the old window form, which kept one;
+    * the tightened contract is deliberate and this line is its record).
     *
     * Shape matters at scale: keeper ids come from `groupBy(key).min(id)`
     * — a hash aggregation with MAP-SIDE partial aggregation, so a
@@ -124,11 +127,19 @@ object TextOps {
   }
 
   /** One (doc_id, line_no, line, line_key) row per line of each doc —
-    * the shared base of the line-frequency boilerplate pass.
+    * the shared base of the line-frequency boilerplate pass. Null-text
+    * docs are dropped up front (what plain explode did implicitly, and
+    * what DuckDB's unnest(string_split(NULL)) does); the explode is
+    * then the _outer form so InferFiltersFromGenerate cannot push an
+    * inferred size()>0 filter that re-inlines the text expression per
+    * row (the CLAUDE.md trap — `text` may be a whole stripMarkup
+    * chain). For non-null text, split never yields null or an empty
+    * array, so outer == inner output.
     */
   private def explodedLines(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"),
-        posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+    docs.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        posexplode_outer(split(text, "\n")).as(Seq("line_no", "line")))
       .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
         col("line"), xxhash64(col("line")).as("line_key"))
 
@@ -482,12 +493,12 @@ object TextOps {
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 64,
       staging: Option[String] = None): DataFrame = {
-    def cut(df: DataFrame, name: String): DataFrame = staging match {
-      case Some(dir) =>
-        df.write.mode("overwrite").parquet(s"$dir/$name")
-        df.sparkSession.read.parquet(s"$dir/$name")
-      case None => df.localCheckpoint()
-    }
+    // staged rounds go through the shared Staging seam; the in-memory
+    // default is localCheckpoint (not cache) because each round only
+    // needs lineage CUT, not reuse across several consumers
+    def cut(df: DataFrame, name: String): DataFrame =
+      if (staging.isDefined) Staging.materialize(df, staging, name)
+      else df.localCheckpoint()
     val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct(), "edges")

@@ -170,8 +170,8 @@ class StreamingSpec extends AnyFunSuite {
         .toDF("doc_id", "text").write.parquet(s"$dir/in/b2")
       q.processAllAvailable()
       // batch 3: a near-dup of the EVICTED keeper — must be re-learned
-      // as a fresh keeper (no emission against doc 0); arrives well
-      // inside the 5 s TTL of nothing relevant (its bucket is empty)
+      // as a fresh keeper (no emission against doc 0; its bucket is
+      // empty at this point)
       Seq((1000L, baseText + " zz")).toDF("doc_id", "text")
         .write.parquet(s"$dir/in/b3")
       q.processAllAvailable()
