@@ -110,20 +110,39 @@ object TextOps {
     * same regexes (q52).
     */
   def stripMarkup(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
-    val blockNl = regexp_replace(noComment,
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(stripMarkupExpr(Bridge.expression(html)))
+  }
+
+  /** The catalyst tree both surfaces share: the DataFrame path wraps it
+    * in a Column, the SQL registration (GraftFunctions `strip_markup`)
+    * returns it directly — one chain, impossible to fork. (A
+    * Column-API tree bridged to an Expression at registration time
+    * would reach codegen as an unresolved ColumnNodeExpression.)
+    */
+  private[graft] def stripMarkupExpr(
+      html: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression => CE,
+      Literal => CL, RegExpReplace, StringReplace, StringTrim}
+    def rr(x: CE, p: String, r: String): CE =
+      new RegExpReplace(x, CL(p), CL(r))
+    def rep(x: CE, s: String, r: String): CE =
+      StringReplace(x, CL(s), CL(r))
+    val noScript = rr(html, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = rr(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noComment = rr(noStyle, "(?s)<!--.*?-->", "")
+    val blockNl = rr(noComment,
       "(?i)</?(?:p|div|br|li|ul|ol|tr|table|h[1-6]|section|article|header|footer)[^>]*>",
       "\n")
-    val noTags = regexp_replace(blockNl, "<[^>]+>", "")
-    val ent = replace(replace(replace(replace(replace(noTags,
-      lit("&nbsp;"), lit(" ")), lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
-      lit("&quot;"), lit("\"")), lit("&amp;"), lit("&"))
-    val sp = regexp_replace(ent, "[ \\t]+", " ")
-    // trim(col) strips SPACES only — pass the trim set to drop the
-    // leading/trailing line breaks the block-tag rewrite leaves behind
-    trim(regexp_replace(sp, " *\\n+ *", "\n"), " \n")
+    val noTags = rr(blockNl, "<[^>]+>", "")
+    val ent = rep(rep(rep(rep(rep(noTags,
+      "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+      "&quot;", "\""), "&amp;", "&")
+    val sp = rr(ent, "[ \\t]+", " ")
+    // StringTrim with no trim set strips SPACES only — pass the set to
+    // drop the leading/trailing line breaks the block-tag rewrite leaves
+    StringTrim(rr(sp, " *\\n+ *", "\n"), Some(CL(" \n")))
   }
 
   /** One (doc_id, line_no, line, line_key) row per line of each doc —

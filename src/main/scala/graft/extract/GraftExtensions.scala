@@ -126,6 +126,16 @@ object GraftFunctions {
       litStr(args, 2, "analyte_gather_candidates"))
   }
 
+  /** strip_markup is a COMPOSITION of built-in expressions, not a
+    * native one — both surfaces return the SAME catalyst chain
+    * (TextOps.stripMarkupExpr), so SQL users inherit its codegen and
+    * null propagation (null -> null) unchanged.
+    */
+  private def buildStripMarkup(args: Seq[Expression]): Expression = {
+    arity(args, 1, "strip_markup")
+    graft.analysis.TextOps.stripMarkupExpr(args.head)
+  }
+
   private def info(cls: Class[_], name: String) =
     new ExpressionInfo(cls.getName, name)
 
@@ -145,7 +155,10 @@ object GraftFunctions {
       buildBandKeys(_)),
     (FunctionIdentifier("analyte_gather_candidates"),
       info(classOf[AnalyteGather], "analyte_gather_candidates"),
-      buildAnalyteGather(_)))
+      buildAnalyteGather(_)),
+    (FunctionIdentifier("strip_markup"),
+      info(graft.analysis.TextOps.getClass, "strip_markup"),
+      buildStripMarkup(_)))
 
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -68,6 +68,26 @@ class AnalysisSpec extends AnyFunSuite {
       .count() == 50)
   }
 
+  test("boilerplate strip plans partial aggs on hashed keys (no text in exchanges)") {
+    // same scale contract as the dedup keeper: the count of docs per
+    // line must partial-aggregate map-side on the 8-byte line hash —
+    // never shuffle or sort the line text itself
+    val docs = documents.select(col("doc_id"),
+      concat(lit("HDR\n"), col("text"), lit("\nFTR")).as("text"))
+    val plan = TextOps.stripBoilerplate(docs, col("doc_id"), col("text"), 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"line-frequency agg lost its map-side partial stage:\n$plan")
+    // every hash partitioning in the plan keys on line_key (+doc_id),
+    // never on the raw line text ("line#N" is the text attribute;
+    // "line_key#N" does not contain that substring)
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).foreach { m =>
+      assert(!m.group(1).contains("line#"),
+        s"exchange keyed on line text: ${m.matched}")
+    }
+  }
+
   test("staged dup-join base: parquet staging == cache, base readable back") {
     val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString
     val base = documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 100)

@@ -105,6 +105,22 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("string literal"))
   }
 
+  test("strip_markup is SQL-callable and matches the DataFrame path") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val html = "<p>A &amp; B</p><script>x()</script><div>C</div>"
+    val viaSql = spark.sql(
+      s"SELECT strip_markup('${html.replace("'", "''")}') AS c")
+      .as[String].head()
+    val viaDf = Seq(html).toDF("h")
+      .select(graft.analysis.TextOps.stripMarkup(col("h"))).as[String].head()
+    assert(viaSql == viaDf && viaSql == "A & B\nC")
+    // a composition of built-ins propagates null like built-ins do
+    assert(spark.sql("SELECT strip_markup(CAST(NULL AS string)) AS c")
+      .filter("c IS NULL").count() == 1)
+  }
+
   test("sign_buckets/minhash_band_keys: null elements + implicit casts match HOF") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
