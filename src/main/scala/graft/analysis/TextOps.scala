@@ -185,7 +185,13 @@ object TextOps {
     * [[boilerplateLines]] anti-joined back onto the exploded lines (the
     * boilerplate side is tiny by construction — distinct lines crossing
     * the minDocs bar — so AQE broadcasts it; a pathological corpus
-    * degrades to an SMJ on the 8-byte key). Returns the kept lines as
+    * degrades to an SMJ on the 8-byte key). The frequency side
+    * RE-DERIVES the exploded base instead of materializing it: column
+    * pruning reduces that second pass to (line_key, doc_id) — split +
+    * hash, no text retained — and a map-parallel re-scan is the right
+    * trade at corpus scale, where staging the full line set would cost
+    * a second copy of the corpus (same deliberate two-scan shape as
+    * [[dedupStaged]]). Returns the kept lines as
     * (doc_id, line_no, line) — callers reassemble with
     * `groupBy(doc_id).agg(concat_ws("\n", array_sort...))` when they
     * need the flat text, or feed the lines straight to the per-line
