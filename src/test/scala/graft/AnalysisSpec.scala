@@ -583,6 +583,17 @@ class AnalysisSpec extends AnyFunSuite {
     assert(drops == Seq(2L, 3L, 11L, 12L, 13L, 14L, 21L))
   }
 
+  test("dupClusters converges on a 300-link chain (pointer-jumping, not O(d) rounds)") {
+    // a pure drift chain: diameter 300 >> the 64-round cap, so plain
+    // min-label propagation could NOT finish — path doubling must
+    // collapse it in ~log2(300) rounds
+    val chain = (0L until 300L).map(i => (i, i + 1, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = TextOps.dupClusters(chain).as[(Long, Long)].collect().toSeq
+    assert(got.size == 301)
+    assert(got.forall(_._2 == 0L), s"non-root labels: ${got.filter(_._2 != 0L).take(5)}")
+  }
+
   test("dupClusters on a real LSH pair set matches per-pair reachability") {
     val base = documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
     // two generations of near-dups of the same parents -> transitive sets
