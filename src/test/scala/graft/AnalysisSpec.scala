@@ -68,6 +68,21 @@ class AnalysisSpec extends AnyFunSuite {
       .count() == 50)
   }
 
+  test("curationFilter: min-id keeper per duplicate text, rejects never leak") {
+    // keeper ids come from the RAW table (dedupStaged): rejected texts
+    // must not leak in, and a lower-id REJECTED doc must not steal the
+    // keeper slot of an unrelated passing text
+    val good = Seq.fill(8)("the quick brown fox and the lazy dog is in it").mkString(" ")
+    val docs = Seq(
+      (5L, good), (3L, good), (9L, good), // dup cluster, keeper = 3
+      (1L, "!!! ??? *** &&& %%%"),        // rejected: punct ratio
+      (2L, "short text the end")          // rejected: too few tokens
+    ).toDF("doc_id", "text")
+    val kept = TextOps.curationFilter(docs, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(3L), s"got $kept")
+  }
+
   test("boilerplate strip plans partial aggs on hashed keys (no text in exchanges)") {
     // same scale contract as the dedup keeper: the count of docs per
     // line must partial-aggregate map-side on the 8-byte line hash —
