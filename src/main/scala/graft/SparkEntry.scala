@@ -205,6 +205,14 @@ object SparkEntry {
       TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"), minDocs = 100L)
     }),
 
+    "q54_source_quota" -> ((s, d) =>
+      // per-source quota (keep the N best docs per domain by a quality
+      // key): BoundedTopK partial-agg keeper + semi-join — the exact
+      // keeper rule is row_number-expressible, so fully oracled
+      TextOps.sourceQuota(t(s, d, "documents"), col("doc_id"), col("source"),
+          col("n_chars"), maxPerSource = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     "q22_jaccard_pairs" -> ((s, d) => {
       // 1-gram Jaccard on a small doc sample (cross-engine form of the
       // n-gram near-dup rerank; n=3 variant is ScalaTest-validated)
@@ -623,6 +631,12 @@ object SparkEntry {
         "freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1) " +
         "SELECT l.doc_id, l.line_no, l.line FROM lines l " +
         "JOIN freq f USING (line) WHERE f.n_docs < 100"),
+
+    "q54_source_quota" ->
+      ("SELECT doc_id, source, n_chars FROM (" +
+        "SELECT doc_id, source, n_chars, row_number() OVER (" +
+        "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 10"),
 
     "q22_jaccard_pairs" ->
       ("SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +

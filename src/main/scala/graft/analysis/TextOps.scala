@@ -402,6 +402,44 @@ object TextOps {
       p => coalesce(array_min(transform(hs, h => xxhash64(p, h))),
         lit(Long.MaxValue)))
 
+  // ---- source/domain-aware curation ------------------------------------
+  /** Per-source quota: keep at most `maxPerSource` docs per source
+    * (domain), ranked by (quality desc, id asc) — the "keep the N best
+    * pages per domain" control real pre-training pipelines apply BEFORE
+    * content-level dedup (a crawl's worst domains are dropped wholesale
+    * by quota, not one near-dup pair at a time). Keeper rule: the
+    * `maxPerSource` highest-`quality` docs of each source, ties going
+    * to the LOWER id — exactly `row_number() over (partition by source
+    * order by quality desc, id) <= maxPerSource`, but never planned as
+    * a window.
+    *
+    * Shape at scale (the [[dedupExact]] house shape): keeper ids come
+    * from `groupBy(source).agg(BoundedTopK(quality, id, N))` — an
+    * object-hash aggregation whose per-key partial state is a heap
+    * CAPPED at N in update and merge ([[BoundedTopKAgg]]), so a
+    * 10^8-page mega-source costs each map task at most N entries and
+    * the exchange one (source, <=N ids) row per task — followed by a
+    * left_semi join back on the 8-byte unique id, which spreads the
+    * kept rows uniformly. No window, no unbounded collect_list, no text
+    * in any exchange. Rows with null quality never qualify (documented
+    * on [[BoundedTopKAgg]]); a null source is one quota group.
+    *
+    * Per-domain EXACT dedup composes with the existing keeper:
+    * `dedupExact(docs, struct(source, xxhash64(text)), id)` scopes the
+    * duplicate key per source (the same page on two mirrors survives
+    * once per mirror) — quota-then-dedup is the usual order.
+    */
+  def sourceQuota(docs: DataFrame, id: Column, source: Column,
+      quality: Column, maxPerSource: Int): DataFrame = {
+    val keyed = docs.withColumn("__sq_id", id)
+    val keeperIds = keyed
+      .groupBy(source.as("__sq_src"))
+      .agg(BoundedTopK.of(quality, col("__sq_id"), maxPerSource).as("__sq_keep"))
+      .select(explode(col("__sq_keep")).as("__sq_keep_id"))
+    keyed.join(keeperIds, col("__sq_id") === col("__sq_keep_id"), "left_semi")
+      .drop("__sq_id")
+  }
+
   // ---- curation filter (the pre-training hygiene pass) ----------------
   /** Language gate + quality-ratio window + exact-dedup keeper in one
     * composition: ONE map-side projection computes every feature, the

@@ -660,6 +660,66 @@ class AnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceQuota: keeps the top-N per source by (quality desc, id asc)") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 50L),
+      (5L, "b", 5L), (6L, "b", 5L),
+      (7L, "c", 1L)
+    ).toDF("doc_id", "source", "q")
+    val kept = TextOps.sourceQuota(docs, col("doc_id"), col("source"),
+      col("q"), maxPerSource = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // a: 50 > 30(id 2) > 30(id 3) > 10 -> {4, 2}; b: tie -> lower ids {5, 6};
+    // c: under quota, all kept
+    assert(kept == Seq(2L, 4L, 5L, 6L, 7L))
+    // quota larger than any source keeps everything
+    assert(TextOps.sourceQuota(docs, col("doc_id"), col("source"), col("q"), 10)
+      .count() == 7)
+    // null quality never qualifies; null source is one quota group
+    val withNull = Seq((1L, "a", Some(5L)), (2L, "a", None),
+      (3L, null, Some(1L)), (4L, null, Some(2L))).toDF("doc_id", "source", "q")
+    assert(TextOps.sourceQuota(withNull, col("doc_id"), col("source"), col("q"), 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("sourceQuota is bounded partial-agg: a 100k-page mega-source never meets one reducer") {
+    // the quota keeper must plan as an object-hash aggregation with a
+    // map-side partial stage whose per-key state is CAPPED (BoundedTopK)
+    // — never a Window (ships the whole source to one task) and never a
+    // bare collect_list (unbounded partial state, same concentration)
+    val mega = spark.range(100000).select(col("id"),
+      lit("the-one-domain").as("src"), (col("id") % 1000).as("q"))
+    val tail = Seq((200000L, "small", 1L), (200001L, "small", 2L))
+      .toDF("id", "src", "q")
+    val kept = TextOps.sourceQuota(mega.unionByName(tail),
+      col("id"), col("src"), col("q"), maxPerSource = 3)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"sourceQuota must not plan a Window over the source key:\n$plan")
+    assert(plan.contains("partial_bounded_top_k"),
+      s"quota keeper lost its bounded map-side partial stage:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"unbounded collect_list in the quota plan:\n$plan")
+    // top-3 of q = id % 1000: q=999 at ids 999, 1999, 2999; the small
+    // source is under quota and fully kept
+    val ids = kept.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(999L, 1999L, 2999L, 200000L, 200001L), s"wrong keepers: $ids")
+  }
+
+  test("per-domain exact dedup: composite (source, text-hash) key scopes dups per source") {
+    // the same page on two mirrors survives once PER MIRROR; within a
+    // mirror the min-id keeper rule applies unchanged
+    val docs = Seq(
+      (1L, "m1", "same page"), (2L, "m1", "same page"),
+      (3L, "m2", "same page"),
+      (4L, "m2", "other page")
+    ).toDF("doc_id", "source", "text")
+    val kept = TextOps.dedupExact(docs,
+      struct(col("source"), xxhash64(col("text"))), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
   test("ANN buckets stay fine-grained at scale: no N/16 bucket") {
     val n = 1200
     val rnd = new scala.util.Random(11)
