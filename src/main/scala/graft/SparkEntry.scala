@@ -24,6 +24,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // q52's deterministic HTML wrapping, shared verbatim by the Spark
+  // query and the generated DuckDB oracle (entity coverage: named +
+  // numeric + hex refs from TextOps.EntityDecodes, incl. the
+  // double-encoded &amp;lt; which must decode to the LITERAL "&lt;")
+  private val Q52Prefix =
+    "<html><head><style type=\"text/css\">body{color:#000}</style>" +
+      "<script>if(1&lt;2){a=&quot;x&quot;;}</script></head><body><h1>Doc</h1><p>"
+  private val Q52Suffix =
+    "</p><!-- footer --><div>&amp; more &lt;tags&gt;&nbsp;here</div>" +
+      "<p>&#39;n&#x27; &#34;q&#x22;&#160;it&mdash;em&ndash;en&apos;end&hellip; " +
+      "&#60;kept&#x3e; &#38;co &amp;lt;</p></body></html>"
+
   /** Flagship: the full auto-cascade TSH extraction (OCR pool +
     * Catalyst core) over an in-memory deterministic corpus; exploded
     * span rows. Driver smoke-checks rows > 0 on sf0.001.
@@ -185,12 +197,9 @@ object SparkEntry {
       // main-content extraction (north_rule: HTML boilerplate strip):
       // deterministic HTML wrapping synthesized in-query, stripped by
       // the expression-only TextOps.stripMarkup; the oracle runs the
-      // SAME RE2-safe regex chain in DuckDB over the same wrapping
-      val html = concat(
-        lit("<html><head><style type=\"text/css\">body{color:#000}</style>" +
-          "<script>if(1&lt;2){a=&quot;x&quot;;}</script></head><body><h1>Doc</h1><p>"),
-        col("text"),
-        lit("</p><!-- footer --><div>&amp; more &lt;tags&gt;&nbsp;here</div></body></html>"))
+      // SAME RE2-safe regex chain in DuckDB over the same wrapping,
+      // with the entity-decode nest GENERATED from the same table
+      val html = concat(lit(Q52Prefix), col("text"), lit(Q52Suffix))
       t(s, d, "documents").select(col("doc_id"),
         TextOps.stripMarkup(html).as("clean"))
     }),
@@ -203,6 +212,16 @@ object SparkEntry {
         concat(lit("HOME | ABOUT | CONTACT\n"), col("text"),
           lit("\n(c) example corp - all rights reserved")).as("text"))
       TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"), minDocs = 100L)
+    }),
+
+    "q55_reassemble" -> ((s, d) => {
+      // the q53 boilerplate strip composed with document reassembly:
+      // kept lines -> one cleaned flat text per doc (asDocs = true)
+      val wrapped = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("HOME | ABOUT | CONTACT\n"), col("text"),
+          lit("\n(c) example corp - all rights reserved")).as("text"))
+      TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"),
+        minDocs = 100L, asDocs = true)
     }),
 
     "q54_source_quota" -> ((s, d) =>
@@ -603,23 +622,26 @@ object SparkEntry {
         "FROM documents)"),
 
     // the SAME RE2-safe regex chain as TextOps.stripMarkup, over the
-    // same in-query HTML wrapping (single-quoted literals: '' = ')
-    "q52_strip_markup" ->
-      ("SELECT doc_id, trim(regexp_replace(regexp_replace(" +
-        "replace(replace(replace(replace(replace(" +
+    // same in-query HTML wrapping; the entity replace() nest is
+    // GENERATED from TextOps.EntityDecodes so the engines cannot drift
+    "q52_strip_markup" -> {
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      val wrapped = q(Q52Prefix) + " || text || " + q(Q52Suffix)
+      val noTags =
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-        "'<html><head><style type=\"text/css\">body{color:#000}</style>" +
-        "<script>if(1&lt;2){a=&quot;x&quot;;}</script></head><body><h1>Doc</h1><p>' " +
-        "|| text || " +
-        "'</p><!-- footer --><div>&amp; more &lt;tags&gt;&nbsp;here</div></body></html>', " +
-        "'(?is)<script[^>]*>.*?</script>', '', 'g'), " +
-        "'(?is)<style[^>]*>.*?</style>', '', 'g'), " +
-        "'(?s)<!--.*?-->', '', 'g'), " +
-        "'(?i)</?(?:p|div|br|li|ul|ol|tr|table|h[1-6]|section|article|header|footer)[^>]*>', chr(10), 'g'), " +
-        "'<[^>]+>', '', 'g'), " +
-        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&amp;', '&'), " +
+          wrapped + ", " +
+          "'(?is)<script[^>]*>.*?</script>', '', 'g'), " +
+          "'(?is)<style[^>]*>.*?</style>', '', 'g'), " +
+          "'(?s)<!--.*?-->', '', 'g'), " +
+          "'(?i)</?(?:p|div|br|li|ul|ol|tr|table|h[1-6]|section|article|header|footer)[^>]*>', chr(10), 'g'), " +
+          "'<[^>]+>', '', 'g')"
+      val ent = TextOps.EntityDecodes.foldLeft(noTags) { case (e, (from, to)) =>
+        s"replace($e, ${q(from)}, ${q(to)})"
+      }
+      "SELECT doc_id, trim(regexp_replace(regexp_replace(" + ent + ", " +
         "'[ \\t]+', ' ', 'g'), " +
-        "' *\\n+ *', chr(10), 'g'), ' ' || chr(10)) AS clean FROM documents"),
+        "' *\\n+ *', chr(10), 'g'), ' ' || chr(10)) AS clean FROM documents"
+    },
 
     "q53_strip_boilerplate" ->
       ("WITH wrapped AS (SELECT doc_id, 'HOME | ABOUT | CONTACT' || chr(10) " +
@@ -631,6 +653,17 @@ object SparkEntry {
         "freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1) " +
         "SELECT l.doc_id, l.line_no, l.line FROM lines l " +
         "JOIN freq f USING (line) WHERE f.n_docs < 100"),
+
+    "q55_reassemble" ->
+      ("WITH wrapped AS (SELECT doc_id, 'HOME | ABOUT | CONTACT' || chr(10) " +
+        "|| text || chr(10) || '(c) example corp - all rights reserved' AS text " +
+        "FROM documents), " +
+        "lines AS (SELECT doc_id, " +
+        "unnest(range(0, len(string_split(text, chr(10))))) AS line_no, " +
+        "unnest(string_split(text, chr(10))) AS line FROM wrapped), " +
+        "freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1) " +
+        "SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.line_no) AS text " +
+        "FROM lines l JOIN freq f USING (line) WHERE f.n_docs < 100 GROUP BY 1"),
 
     "q54_source_quota" ->
       ("SELECT doc_id, source, n_chars FROM (" +

@@ -114,6 +114,28 @@ object TextOps {
     Bridge.column(stripMarkupExpr(Bridge.expression(html)))
   }
 
+  /** The entity decode table, ORDERED: a fixed set of literal replaces
+    * (never a general `&#\d+;` decoder — that would need a per-match
+    * compute step neither RE2 nor the shared-with-DuckDB chain can
+    * express) covering the named entities plus the numeric/hex
+    * character references ubiquitous in real web text (`&#39;` etc. —
+    * only the canonical lowercase-x hex spellings plus the uppercase
+    * hex DIGIT variants emitted by common escapers; anything outside
+    * this table survives literally, the documented contract). The
+    * `&amp;`-family decodes LAST so double-encoded text degrades
+    * conservatively: `&amp;lt;` becomes the literal `&lt;`, not `<`.
+    * The q52 oracle SQL is GENERATED from this same list
+    * (SparkEntry), so the two engines cannot drift.
+    */
+  private[graft] val EntityDecodes: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&#160;" -> " ", "&#xa0;" -> " ", "&#xA0;" -> " ",
+    "&lt;" -> "<", "&#60;" -> "<", "&#x3c;" -> "<", "&#x3C;" -> "<",
+    "&gt;" -> ">", "&#62;" -> ">", "&#x3e;" -> ">", "&#x3E;" -> ">",
+    "&quot;" -> "\"", "&#34;" -> "\"", "&#x22;" -> "\"",
+    "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'",
+    "&mdash;" -> "—", "&ndash;" -> "–", "&hellip;" -> "…",
+    "&amp;" -> "&", "&#38;" -> "&", "&#x26;" -> "&")
+
   /** The catalyst tree both surfaces share: the DataFrame path wraps it
     * in a Column, the SQL registration (GraftFunctions `strip_markup`)
     * returns it directly — one chain, impossible to fork. (A
@@ -136,9 +158,7 @@ object TextOps {
       "(?i)</?(?:p|div|br|li|ul|ol|tr|table|h[1-6]|section|article|header|footer)[^>]*>",
       "\n")
     val noTags = rr(blockNl, "<[^>]+>", "")
-    val ent = rep(rep(rep(rep(rep(noTags,
-      "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
-      "&quot;", "\""), "&amp;", "&")
+    val ent = EntityDecodes.foldLeft(noTags) { case (e, (s, r)) => rep(e, s, r) }
     val sp = rr(ent, "[ \\t]+", " ")
     // StringTrim with no trim set strips SPACES only — pass the set to
     // drop the leading/trailing line breaks the block-tag rewrite leaves
@@ -198,11 +218,36 @@ object TextOps {
     * operators above.
     */
   def stripBoilerplate(docs: DataFrame, id: Column, text: Column,
-      minDocs: Long): DataFrame =
-    explodedLines(docs, id, text)
+      minDocs: Long, asDocs: Boolean = false): DataFrame = {
+    val kept = explodedLines(docs, id, text)
       .join(boilerplateLines(docs, id, text, minDocs), Seq("line_key"),
         "left_anti")
       .select(col("doc_id"), col("line_no"), col("line"))
+    if (asDocs) reassemble(kept) else kept
+  }
+
+  /** Reassemble per-line rows back into one flat document per doc_id —
+    * the step between "kept lines" and "cleaned corpus" that every
+    * consumer of [[stripBoilerplate]] needs: lines sorted by line_no
+    * and re-joined with `\n`. Inverse of the line split for any corpus
+    * whose docs contain no boilerplate (a test pins
+    * `reassemble(lines(d)) == d`); a doc whose EVERY line was stripped
+    * disappears (no rows -> no group), and null-text docs were already
+    * dropped at the split.
+    *
+    * Scale shape: one hash aggregation keyed by doc_id; `collect_list`
+    * state here is bounded by the DOCUMENT'S OWN line count — the
+    * output row itself — so unlike a cross-doc collect this cannot
+    * concentrate a corpus on one task (one doc = one output row; a
+    * single pathologically-huge document is an input-hygiene problem,
+    * which is what [[qualityFeatures]]' length gate is for).
+    */
+  def reassemble(lines: DataFrame): DataFrame =
+    lines.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x("line")),
+        "\n").as("text"))
 
   // ---- fingerprinting ------------------------------------------------------
   /** Order-sensitive rolling document fingerprint (hash chaining over

@@ -45,6 +45,13 @@ class AnalysisSpec extends AnyFunSuite {
     val plain = Seq("two  spaces and\n\n\nblank  runs").toDF("h")
       .select(TextOps.stripMarkup(col("h"))).as[String].head()
     assert(plain == "two spaces and\nblank runs", s"got [$plain]")
+    // numeric / hex character references and the extra named entities
+    // decode (the fixed EntityDecodes table); the double-encoded
+    // &amp;#39; degrades conservatively to the LITERAL &#39;
+    val refs = Seq("<p>it&#39;s &#x27;q&#x27; &#34;d&#x22;&#160;A&#60;B &#x3c;kept&#x3E; " +
+      "x&mdash;y&ndash;z&hellip; AT&#38;T &#x26;co &amp;#39;</p>").toDF("h")
+      .select(TextOps.stripMarkup(col("h"))).as[String].head()
+    assert(refs == "it's 'q' \"d\" A<B <kept> x—y–z… AT&T &co &#39;", s"got [$refs]")
   }
 
   test("boilerplate strip: corpus-frequent lines drop, content lines survive") {
@@ -66,6 +73,30 @@ class AnalysisSpec extends AnyFunSuite {
     // threshold edge: at minDocs = 9 the near-miss line becomes boilerplate
     assert(TextOps.stripBoilerplate(docs, col("doc_id"), col("text"), 9L)
       .count() == 50)
+  }
+
+  test("reassemble inverts the line split; boilerplate strip composes to clean docs") {
+    // boilerplate-free corpus: strip(asDocs = true) at an unreachable
+    // threshold must be the identity on every (non-null-text) doc
+    val base = documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    val roundTrip = TextOps.stripBoilerplate(base, col("doc_id"), col("text"),
+      minDocs = 1000000L, asDocs = true)
+    val diff = roundTrip.join(base.withColumnRenamed("text", "orig"), "doc_id")
+      .filter(col("text") =!= col("orig")).count()
+    assert(diff == 0 && roundTrip.count() == 50)
+    // with injected boilerplate: the reassembled doc is the original
+    val wrapped = base.select(col("doc_id"),
+      concat(lit("NAV | BAR\n"), col("text"), lit("\n(c) footer")).as("text"))
+    val cleaned = TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"),
+      minDocs = 40L, asDocs = true)
+    val diff2 = cleaned.join(base.withColumnRenamed("text", "orig"), "doc_id")
+      .filter(col("text") =!= col("orig")).count()
+    assert(diff2 == 0 && cleaned.count() == 50)
+    // a doc whose every line is boilerplate disappears from the output
+    val allBp = (0 until 20).map(i => (i.toLong, "ONLY | BOILERPLATE"))
+      .toDF("doc_id", "text")
+    assert(TextOps.stripBoilerplate(allBp, col("doc_id"), col("text"),
+      minDocs = 10L, asDocs = true).count() == 0)
   }
 
   test("curationFilter: min-id keeper per duplicate text, rejects never leak") {
