@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Materialization seam for the dup-join bases (the exploded
   * (id, features, band, bucket) DataFrames that feed both sides of an
@@ -8,26 +8,90 @@ import org.apache.spark.sql.DataFrame
   *
   *  - `staging = None` (default): `.cache()` — right for jobs that fit
   *    executor storage; the BlockManager entry lives until the caller
-  *    releases it (`spark.catalog.clearCache()`, as Bench does).
+  *    releases it (`spark.catalog.clearCache()`, as Bench does, or a
+  *    per-call [[CacheScope]]).
   *  - `staging = Some(dir)`: write/read a parquet staging table — the
   *    100 TB encoding (mirrors `Pipeline.resultsAutoIterative`'s
   *    `checkpointDir`): nothing rides executor memory, the barrier
   *    survives executor loss, a long-lived session accumulates no
   *    BlockManager storage, and the staged base is independently
   *    inspectable/resumable. Caller owns the directory's lifecycle —
-  *    and must pass a DISTINCT dir per invocation: table names under
-  *    the dir are fixed per operator ("minhash_base",
-  *    "curate_keepers", ...), so two concurrent calls sharing a dir
-  *    would overwrite each other's staging tables.
+  *    and must pass a FRESH dir per invocation: table names under the
+  *    dir are fixed per operator ("minhash_base", "curate_keepers",
+  *    ...), so the write mode is error-if-exists and a reused dir
+  *    FAILS FAST instead of two invocations silently overwriting each
+  *    other's staging tables.
   */
+/** Per-call registry for the `.cache()` barriers the dup-join /
+  * curation operators create when no `staging` dir is passed: pass a
+  * fresh `new CacheScope` to the operator, run the terminal action on
+  * its result, then `release()` — exactly that call's BlockManager
+  * entries are dropped, without `spark.catalog.clearCache()`'s nuclear
+  * option (which would also evict every OTHER caller's caches in a
+  * shared long-lived session). The default (`CacheScope.unmanaged`)
+  * registers nothing and preserves the caller-owns-lifecycle contract.
+  *
+  * Scope: tracks `Staging.materialize(None)` caches only.
+  * `dupClusters`' in-memory rounds are localCheckpoints (lineage cuts,
+  * not caches) — their blocks die with the session, or run that
+  * operator with `staging`/`spark.graft.stagingDir` to keep round
+  * state off executors entirely.
+  */
+final class CacheScope private (tracking: Boolean) {
+  def this() = this(true)
+  private val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private[analysis] def register(df: DataFrame): DataFrame = {
+    if (tracking) synchronized { caches += df }
+    df
+  }
+
+  /** Unpersist (blocking) every cache this scope's call registered.
+    * Idempotent; the scope can be reused afterwards.
+    */
+  def release(): Unit = synchronized {
+    caches.foreach(_.unpersist(blocking = true))
+    caches.clear()
+  }
+}
+
+object CacheScope {
+  /** No-op sentinel: nothing registered, caller owns the lifecycle. */
+  val unmanaged: CacheScope = new CacheScope(false)
+}
+
+/** Engine-wide default staging root: set
+  * `spark.conf.set(StagingConf.Key, dir)` and operators that would
+  * otherwise hold round state in executor memory
+  * ([[TextOps.dupClusters]]'s localCheckpoint) auto-select parquet
+  * staging under a PER-INVOCATION unique subdir (no two calls ever
+  * share one, so the fail-fast contract cannot trip). The subdirs are
+  * the caller's to delete once the returned DataFrame has been
+  * consumed.
+  */
+object StagingConf {
+  val Key = "spark.graft.stagingDir"
+}
+
 private[analysis] object Staging {
 
-  def materialize(df: DataFrame, staging: Option[String],
-      name: String): DataFrame = staging match {
+  /** Explicit per-call staging wins; else the engine-wide conf dir
+    * (namespaced per call); else None (in-memory barrier).
+    */
+  def resolve(spark: SparkSession, staging: Option[String],
+      op: String): Option[String] =
+    staging.orElse(spark.conf.getOption(StagingConf.Key)
+      .map(d => s"$d/$op-${java.util.UUID.randomUUID()}"))
+
+  def materialize(df: DataFrame, staging: Option[String], name: String,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = staging match {
     case Some(dir) =>
       val path = s"$dir/$name"
-      df.write.mode("overwrite").parquet(path)
+      // default ErrorIfExists: a concurrent (or repeated) invocation
+      // sharing the dir errors here instead of corrupting the other
+      // call's staged table
+      df.write.parquet(path)
       df.sparkSession.read.parquet(path)
-    case None => df.cache()
+    case None => scope.register(df.cache())
   }
 }

@@ -293,7 +293,8 @@ object TextOps {
     */
   def simhashDupPairs(docs: DataFrame, id: Column, text: Column,
       bands: Int = 4, maxHamming: Int = 3, maxBucket: Int = 4096,
-      fused: Boolean = true, staging: Option[String] = None): DataFrame = {
+      fused: Boolean = true, staging: Option[String] = None,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming vs $bands)")
     // bands=1 would wrap the band mask to 0 (one global bucket -> a full
@@ -310,7 +311,7 @@ object TextOps {
             shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))
               .as("bucket"))): _*)))
         .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket")),
-      staging, "simhash_base") // lifecycle: see minhashDupPairs / Staging
+      staging, "simhash_base", scope) // lifecycle: see minhashDupPairs / Staging
     val salted =
       Buckets.saltOversized(base, Seq("band", "bucket"), col("id"), maxBucket)
     val a = salted.select(col("band"), col("bucket"), col("__salt"),
@@ -400,7 +401,8 @@ object TextOps {
   def minhashDupPairs(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, m: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5, maxBucket: Int = 4096,
-      fused: Boolean = true, staging: Option[String] = None): DataFrame = {
+      fused: Boolean = true, staging: Option[String] = None,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // explode_outer: band-key arrays are never empty, and plain explode
     // lets InferFiltersFromGenerate push a filter that re-inlines the
     // whole minhash expression tree (see Pipeline.extractRows).
@@ -411,8 +413,10 @@ object TextOps {
     // Materialization barrier ([[Staging]]): the self-join would
     // otherwise recompute the minhash chain per side AND pull inlined
     // copies of it into pushed-down join-key constraints. Default is
-    // `.cache()` with a CALLER-owned lifecycle (unpersist via
-    // spark.catalog.clearCache(), as Bench does); pass `staging` to
+    // `.cache()` with a CALLER-owned lifecycle (pass a fresh
+    // [[CacheScope]] and `release()` after the terminal action to drop
+    // exactly this call's caches; spark.catalog.clearCache(), as Bench
+    // uses, is the session-wide hammer); pass `staging` to
     // write/read a parquet staging table instead — the 100 TB encoding,
     // and the one long-lived sessions should use so repeated invocations
     // accumulate no BlockManager storage.
@@ -423,7 +427,7 @@ object TextOps {
           if (fused) MinhashBandKeys.of(col("sig"), bands)
           else lshBandKeys(col("sig"), m, bands)))
         .select(col("id"), col("hs"), col("bk.band"), col("bk.bucket")),
-      staging, "minhash_base")
+      staging, "minhash_base", scope)
     val salted =
       Buckets.saltOversized(base, Seq("band", "bucket"), col("id"), maxBucket)
     val a = salted.select(col("band"), col("bucket"), col("__salt"),
@@ -556,7 +560,8 @@ object TextOps {
       n: Int = 3, m: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
       maxBucket: Int = 4096,
       exactClusters: Boolean = false,
-      staging: Option[String] = None): (DataFrame, DataFrame) = {
+      staging: Option[String] = None,
+      scope: CacheScope = CacheScope.unmanaged): (DataFrame, DataFrame) = {
     val staged = curationStage(docs, id, text, lang, minTokens, maxPunctRatio)
     // keepers feed BOTH the near-dup join and the final anti-join:
     // materialize so the regex-heavy hygiene projection and the
@@ -567,9 +572,9 @@ object TextOps {
     // the raw table ([[dedupStaged]]) so the hygiene regexes run once.
     val keepers = Staging.materialize(
       dedupStaged(staged, docs, id, text),
-      staging, "curate_keepers")
+      staging, "curate_keepers", scope)
     val pairs = minhashDupPairs(keepers, col("doc_id"), col("text"),
-      n, m, bands, minJaccard, maxBucket, staging = staging)
+      n, m, bands, minJaccard, maxBucket, staging = staging, scope = scope)
     val dropIds =
       if (exactClusters) clusterDropIds(pairs, staging)
       else pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
@@ -591,32 +596,60 @@ object TextOps {
     * pointer-jumping, with plain keyed joins — no GraphX, AQE-friendly.
     * Each round first takes the min over neighbors' labels (one join +
     * one partial-agg groupBy on 8-byte ids), then shortcuts every label
-    * through its own label (label(x) <- label(label(x)), one more
-    * 8-byte join) — path doubling, so a diameter-d component converges
-    * in O(log d) rounds instead of O(d): a 10^6-link drift chain (the
-    * pathological near-dup shape plain propagation cannot finish inside
-    * any sane iteration cap) needs ~20 rounds. Labels only ever
-    * decrease, and the loop stops at fixpoint. Lineage is cut
-    * per round (localCheckpoint — pass `staging` to stage rounds through
-    * parquet instead when executor storage is the constraint at scale).
-    * Returns (doc_id, cluster_keeper), one row per distinct doc in
-    * `pairs`; docs in no pair are their own implicit singleton clusters
-    * (callers left-join and coalesce to doc_id).
+    * through the PREVIOUS round's label table (label(x) <-
+    * label_prev(label(x)) — dereferencing the already-cut table instead
+    * of the in-flight propagation result keeps each round to ONE pass
+    * over the edges; the jump still compounds the reach
+    * Fibonacci-style, so a diameter-d component converges in O(log d)
+    * rounds, not O(d): a 10^6-link drift chain needs ~30 rounds where
+    * plain propagation could not finish inside any sane cap). Labels
+    * only ever decrease, and the loop stops at fixpoint.
+    *
+    * ONE Spark action per round: lineage is cut per round
+    * (localCheckpoint, or a parquet staging table when `staging` is
+    * passed / `spark.graft.stagingDir` is set engine-wide — the
+    * executor-loss-tolerant encoding a 100 TB job should run), and the
+    * convergence signal rides THAT action via an accumulator counting
+    * label changes inside the materializing scan — never a second
+    * `count()` job re-reading the round. (Task retries can only
+    * over-count the accumulator, which is safe: the loop tests
+    * changed == 0, and a retried task of an all-unchanged round adds
+    * nothing.) Returns (doc_id, cluster_keeper), one row per distinct
+    * doc in `pairs`; docs in no pair are their own implicit singleton
+    * clusters (callers left-join and coalesce to doc_id).
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 64,
       staging: Option[String] = None): DataFrame = {
-    // staged rounds go through the shared Staging seam; the in-memory
-    // default is localCheckpoint (not cache) because each round only
-    // needs lineage CUT, not reuse across several consumers
+    val spark = pairs.sparkSession
+    // explicit staging, else the engine-wide conf root (per-call subdir),
+    // else in-memory localCheckpoint (each round needs lineage CUT, not
+    // reuse across consumers — so checkpoint, not cache)
+    val stage = Staging.resolve(spark, staging, "dup_clusters")
     def cut(df: DataFrame, name: String): DataFrame =
-      if (staging.isDefined) Staging.materialize(df, staging, name)
+      if (stage.isDefined) Staging.materialize(df, stage, name)
       else df.localCheckpoint()
+    val acc = spark.sparkContext.longAccumulator("graft.dupClusters.changed")
+    // counts rows whose label decreased DURING the cut's own scan —
+    // the one action of the round doubles as the convergence check
+    def cutCounted(df: DataFrame, name: String): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      val counted = df.mapPartitions { (it: Iterator[Row]) =>
+        // new_label <= label always (least() is monotone), so
+        // "changed" is exactly inequality — type-generic
+        it.map { r => if (r.get(1) != r.get(2)) acc.add(1); r }
+      }(Encoders.row(df.schema))
+      cut(counted, name).select(col("doc_id"), col("new_label").as("label"))
+    }
     val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct(), "edges")
-    var labels = edges.groupBy(col("src").as("doc_id"))
+    // round 1 reads the label table three times (neighbor join, left
+    // join, jump dereference) — cut the seed so those are scans, not
+    // three recomputations of the seed aggregation
+    var labels = cut(edges.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("mn"))
-      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("label"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("label")),
+      "labels_0")
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIters) {
@@ -627,16 +660,18 @@ object TextOps {
       val prop = labels.join(cand, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("p"))
-      // pointer-jumping: p(p(x)) — label values are themselves node ids
+      // pointer-jumping: p <- labels_prev(p) — label values are node ids
       // (every node appears as src in the symmetrized edge set, so the
-      // lookup always resolves); least() keeps labels monotone
-      val byId = prop.select(col("doc_id").as("__l"), col("p").as("__lp"))
-      val stepped = cut(prop.join(byId, prop("p") === col("__l"), "left")
+      // lookup always resolves); least() keeps labels monotone. The
+      // dereference table is the PREVIOUS cut, so `prop` feeds the plan
+      // exactly once and the round stays one propagation pass.
+      val byId = labels.select(col("doc_id").as("__l"), col("label").as("__lp"))
+      val before = acc.value
+      labels = cutCounted(prop.join(byId, prop("p") === col("__l"), "left")
         .select(col("doc_id"), col("label"),
           least(col("p"), coalesce(col("__lp"), col("p"))).as("new_label")),
         s"labels_$round")
-      changed = stepped.filter(col("new_label") < col("label")).count()
-      labels = stepped.select(col("doc_id"), col("new_label").as("label"))
+      changed = acc.value - before
     }
     require(changed == 0,
       s"dupClusters did not converge in $maxIters rounds — pathological " +
@@ -670,11 +705,12 @@ object TextOps {
   def dedupCascade(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, m: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
       maxBucket: Int = 4096, fused: Boolean = true,
-      staging: Option[String] = None): (DataFrame, DataFrame) = {
+      staging: Option[String] = None,
+      scope: CacheScope = CacheScope.unmanaged): (DataFrame, DataFrame) = {
     val named = docs.select(id.as("id"), text.as("text"))
     val reps = dedupExact(named, xxhash64(col("text")), col("id"))
     val pairs = minhashDupPairs(reps, col("id"), col("text"),
-      n, m, bands, minJaccard, maxBucket, fused, staging)
+      n, m, bands, minJaccard, maxBucket, fused, staging, scope)
     (pairs, exactDupGroups(named, xxhash64(col("text")), col("id")))
   }
 }

@@ -213,7 +213,8 @@ object VectorOps {
     */
   def cosineDupPairs(corpus: DataFrame, minCos: Double,
       nPlanes: Int = 16, tables: Int = 4, maxBucket: Int = 4096,
-      fused: Boolean = true, staging: Option[String] = None): DataFrame = {
+      fused: Boolean = true, staging: Option[String] = None,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     requirePlanes(nPlanes)
     // barrier default .cache(), caller-owned; `staging` stages through
     // parquet instead (see TextOps.minhashDupPairs / Staging)
@@ -221,7 +222,7 @@ object VectorOps {
       vecAsDouble(corpus, "embedding").select(col("vec_id"), col("embedding"))
         .withColumn("bk", explode_outer(lshKeys(col("embedding"), nPlanes, tables, fused)))
         .select(col("vec_id"), col("embedding"), col("bk.table"), col("bk.bucket")),
-      staging, "cosine_base")
+      staging, "cosine_base", scope)
     // hot-bucket bound (see Buckets): a cluster of identical/mirrored
     // embeddings shares every sign bit, so ONE bucket per table holds the
     // whole cluster — exactly the M^2 blowup the salt bounds. Collapse

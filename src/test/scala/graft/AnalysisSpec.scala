@@ -135,7 +135,9 @@ class AnalysisSpec extends AnyFunSuite {
   }
 
   test("staged dup-join base: parquet staging == cache, base readable back") {
+    // fresh dir per invocation — the Staging fail-fast contract
     val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-staging2").toString
     val base = documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
     val dups = base.select((col("doc_id") + 100000).as("doc_id"),
       concat(col("text"), lit(" zz")).as("text"))
@@ -151,15 +153,93 @@ class AnalysisSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$dir/minhash_base")
     assert(back.columns.toSeq == Seq("id", "hs", "band", "bucket"))
     assert(back.count() == docs.count() * 4) // bands = 4 default
-    // the composed curate() stages every barrier under the same dir
+    // a second invocation sharing the dir FAILS FAST instead of
+    // silently overwriting the first call's staged table
+    val clash = intercept[Exception] {
+      TextOps.minhashDupPairs(docs, col("doc_id"), col("text"),
+        staging = Some(dir)).count()
+    }
+    assert(clash.getMessage.toLowerCase.contains("exist"),
+      s"expected a path-exists failure, got: ${clash.getMessage}")
+    // the composed curate() stages every barrier under its (fresh) dir
     val (kept, pairs) = TextOps.curate(documents.select(col("doc_id"), col("text")),
-      col("doc_id"), col("text"), staging = Some(dir), exactClusters = true)
+      col("doc_id"), col("text"), staging = Some(dir2), exactClusters = true)
     val (keptC, pairsC) = TextOps.curate(documents.select(col("doc_id"), col("text")),
       col("doc_id"), col("text"), exactClusters = true)
     assert(canon(pairs) == canon(pairsC))
     assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
       keptC.select("doc_id").as[Long].collect().sorted.toSeq)
-    assert(new java.io.File(s"$dir/curate_keepers").exists())
+    assert(new java.io.File(s"$dir2/curate_keepers").exists())
+  }
+
+  test("CacheScope: releasing a call drops exactly its barrier caches") {
+    import graft.analysis.CacheScope
+    val sc = spark.sparkContext
+    documents.count() // materialize the suite-level cache first
+    // compare the SET of persistent-RDD ids, not the count: Spark's
+    // ContextCleaner asynchronously drops earlier tests' unreferenced
+    // caches, so totals are racy in a full-suite run
+    val baseline = sc.getPersistentRDDs.keySet
+    // a plan no other test caches: Spark's CacheManager dedupes cache()
+    // on an already-cached plan, which would make `added` empty here
+    val docs = documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") =!= 424242L)
+    val scope = new CacheScope
+    val (kept, pairs) = TextOps.curate(docs, col("doc_id"), col("text"),
+      scope = scope)
+    kept.count(); pairs.count()
+    val added = sc.getPersistentRDDs.keySet -- baseline
+    assert(added.nonEmpty,
+      "curate's barriers did not register as caches (vacuous test)")
+    scope.release()
+    assert((sc.getPersistentRDDs.keySet & added).isEmpty,
+      "scope.release() left this call's caches in the BlockManager")
+    // release is idempotent and scope-local: the suite cache survives
+    scope.release()
+    assert(documents.count() > 0)
+  }
+
+  test("dupClusters runs ONE action per round (convergence rides the cut)") {
+    // the convergence signal must ride the round's materializing action
+    // via an accumulator — a separate count() job would double the
+    // driver-side job count at O(log d) rounds
+    val counts = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (funcName == "count") counts.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val chain = (0L until 50L).map(i => (i, i + 1, 0.9))
+        .toDF("id_a", "id_b", "jaccard")
+      val got = TextOps.dupClusters(chain).as[(Long, Long)].collect()
+      Thread.sleep(2000) // listener events are delivered asynchronously
+      assert(got.length == 51 && got.forall(_._2 == 0L))
+      assert(counts.get() == 0,
+        s"dupClusters issued ${counts.get()} count() actions inside its rounds")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("engine-wide spark.graft.stagingDir: dupClusters rounds stage to parquet") {
+    val root = java.nio.file.Files.createTempDirectory("graft-conf-staging").toString
+    spark.conf.set(graft.analysis.StagingConf.Key, root)
+    try {
+      val pairs = Seq((1L, 3L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.9))
+        .toDF("id_a", "id_b", "jaccard")
+      val got = TextOps.dupClusters(pairs).as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // rounds were staged under a per-call subdir of the conf root
+      val subdirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      assert(subdirs.length == 1 && subdirs.head.getName.startsWith("dup_clusters-"))
+      assert(new java.io.File(subdirs.head, "edges").exists())
+      assert(new java.io.File(subdirs.head, "labels_0").exists())
+      // a second call gets its OWN subdir (no fail-fast clash)
+      TextOps.dupClusters(pairs).count()
+      assert(new java.io.File(root).listFiles().count(_.isDirectory) == 2)
+    } finally spark.conf.unset(graft.analysis.StagingConf.Key)
   }
 
   test("fused ShingleHashes == HOF chain (hash sets identical, order too)") {
