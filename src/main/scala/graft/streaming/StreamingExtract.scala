@@ -136,6 +136,89 @@ object StreamingExtract {
     * trigger would spin batches back-to-back while any timeout is
     * pending.
     */
+  /** embeddings-table-shaped stream input (vec_id, embedding). Declared
+    * array<double>: a float-typed producer casts upstream (file-source
+    * schemas are fixed per query; batch entry points tolerate both via
+    * implicit cast, see VectorOps).
+    */
+  val vecDocsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(DoubleType))))
+
+  /** Streaming embedding near-dup — the vector twin of [[nearDupStream]]
+    * and the continuous form of `VectorOps.cosineDupPairs`: sign-LSH
+    * keys are the same fused map-side SignBuckets expression as the
+    * batch path, and the bucketed self-join becomes per-(table, bucket)
+    * custom state. Each bucket stores at most `maxPerBucket`
+    * (vec_id, vector) entries; an arriving vector is scored by EXACT
+    * cosine against its bucket's stored vectors (the stream keeps the
+    * full vectors — unlike the text path, which can only afford
+    * signatures): the best hit >= `minCos` (ties to the lower id) emits
+    * (vec_id, dup_of, cos) and the vector is not stored IN THAT BUCKET;
+    * a miss is stored if the bucket has room. Identical vectors share
+    * every sign bucket in every table, so exact duplicates are caught
+    * with certainty; near vectors with the multi-table probability the
+    * batch path documents.
+    *
+    * Keeper semantics, determinism (vec_id order within a bucket's
+    * micro-batch slice), re-ingest silent drop, multi-table duplicate
+    * emissions (consumers dedupe by (vec_id, dup_of)), and the
+    * `stateTtlMs` processing-time eviction contract — including the
+    * no-data-micro-batches deployment note — are EXACTLY
+    * [[nearDupStream]]'s; see its doc. State per bucket is
+    * maxPerBucket * (8 + 8 * dim) bytes, the TTL bounds the bucket
+    * keyspace to recently-active buckets.
+    */
+  def vectorNearDupStream(spark: SparkSession, inDir: String,
+      nPlanes: Int = 16, tables: Int = 4, minCos: Double = 0.99,
+      maxPerBucket: Int = 64, stateTtlMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.analysis.SignBuckets
+    val keyed = spark.readStream.schema(vecDocsSchema).parquet(inDir)
+      .withColumn("bk", explode_outer(SignBuckets.of(col("embedding"), nPlanes, tables)))
+      .select(col("bk.table"), col("bk.bucket"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Long, Array[Double])]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    keyed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Array[Double])], (Long, Long, Double)](
+        OutputMode.Append(), timeout) {
+        case (_, rows, state: GroupState[List[(Long, Array[Double])]]) =>
+          if (state.hasTimedOut) { // idle past the TTL: evict wholesale
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[(Long, Long, Double)]
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, vec) =>
+              if (!seen.exists(_._1 == id)) { // keeper re-ingest: silent drop
+                val best = seen.iterator.map { case (sid, svec) =>
+                  (sid, cos(vec, svec))
+                }.filter(_._2 >= minCos)
+                  .reduceOption((a, b) =>
+                    if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+                best match {
+                  case Some((sid, c)) => out += ((id, sid, c))
+                  case None =>
+                    if (seen.size < maxPerBucket) seen = seen :+ ((id, vec))
+                }
+              }
+            }
+            state.update(seen)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }.toDF("vec_id", "dup_of", "cos")
+  }
+
   def nearDupStream(spark: SparkSession, inDir: String, n: Int = 3,
       m: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5,
       maxPerBucket: Int = 64, stateTtlMs: Long = 0L): DataFrame = {

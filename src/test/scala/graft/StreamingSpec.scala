@@ -103,6 +103,95 @@ class StreamingSpec extends AnyFunSuite {
     pairs.foreach(p => assert(p._3 >= 0.5 && p._3 <= 1.0))
   }
 
+  /** Deterministic embedding corpus for the vector-stream tests. */
+  private def vecs(ids: Seq[Long], seed: Int = 3): Seq[(Long, Seq[Double])] = {
+    ids.map { id =>
+      val rnd = new scala.util.Random(seed * 1000003 + id)
+      (id, Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    }
+  }
+
+  test("streaming embedding near-dup: planted duplicates resolve across micro-batches") {
+    val dir = Files.createTempDirectory("graft-svdup").toString
+    import spark.implicits._
+    val base = vecs(0L until 20L)
+    // batch 1: 20 base vectors become their buckets' keepers
+    base.toDF("vec_id", "embedding").write.parquet(s"$dir/in/b1")
+    val q = StreamingExtract.vectorNearDupStream(spark, s"$dir/in/*",
+        nPlanes = 8, tables = 4, minCos = 0.99, maxPerBucket = 8)
+      .writeStream.format("memory").queryName("graft_svdup_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: exact duplicates of every keeper (+1000), re-ingests of
+      // keepers 0-4, and a 100-strong identical clone set of vector 0
+      // (+5000..) — clones resolve, so the 8-cap bucket never overflows
+      val dups = base.map { case (id, v) => (id + 1000, v) }
+      val reingest = base.take(5)
+      val clones = (0 until 100).map(i => (5000L + i, base.head._2))
+      (dups ++ reingest ++ clones).toDF("vec_id", "embedding")
+        .write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("graft_svdup_out")
+      .select("vec_id", "dup_of", "cos").as[(Long, Long, Double)].collect().toSeq
+    val flagged = pairs.map(p => (p._1, p._2)).distinct
+    // identical vectors share every sign bucket: certainty, not chance
+    (0L until 20L).foreach { i =>
+      assert(flagged.contains((i + 1000, i)), s"missed planted duplicate $i")
+    }
+    val cloneHits = pairs.filter(_._1 >= 5000)
+    assert(cloneHits.map(_._1).distinct.size == 100, "missed identical clones")
+    cloneHits.foreach { case (id, of, c) =>
+      assert(of == 0L && c > 1.0 - 1e-12, s"clone $id resolved to ($of, $c)")
+    }
+    // re-ingested keepers never emit against themselves
+    assert(!pairs.exists(p => p._1 == p._2), "self-match emitted")
+    pairs.foreach(p => assert(p._3 >= 0.99 && p._3 <= 1.0 + 1e-12))
+  }
+
+  test("streaming embedding near-dup TTL: idle buckets evict, then re-learn") {
+    val dir = Files.createTempDirectory("graft-svttl").toString
+    import spark.implicits._
+    val keeper = vecs(Seq(0L))
+    keeper.toDF("vec_id", "embedding").write.parquet(s"$dir/in/b1")
+    // no-data micro-batches off: same trigger/timeout reasoning as the
+    // text near-dup TTL test above
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = StreamingExtract.vectorNearDupStream(spark, s"$dir/in/*",
+        nPlanes = 8, tables = 4, minCos = 0.99, stateTtlMs = 8000L)
+      .writeStream.format("memory").queryName("graft_svttl_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(20000) // idle FAR past the TTL (2.5x: steal-burst headroom)
+      // unrelated traffic fires the expired timeouts -> eviction
+      vecs(Seq(777L), seed = 9).toDF("vec_id", "embedding")
+        .write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+      // duplicate of the EVICTED keeper: re-learned fresh, no emission
+      Seq((1000L, keeper.head._2)).toDF("vec_id", "embedding")
+        .write.parquet(s"$dir/in/b3")
+      q.processAllAvailable()
+      // duplicate of the re-learned keeper: resolves against it (batches
+      // 3-4 are seconds apart — far inside the new keeper's TTL)
+      Seq((2000L, keeper.head._2)).toDF("vec_id", "embedding")
+        .write.parquet(s"$dir/in/b4")
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+    val pairs = spark.table("graft_svttl_out")
+      .select("vec_id", "dup_of", "cos").as[(Long, Long, Double)].collect().toSeq
+    assert(!pairs.exists(_._2 == 0L), s"evicted keeper still matched: $pairs")
+    assert(pairs.map(p => (p._1, p._2)).distinct == Seq((2000L, 1000L)),
+      s"expected dup->relearned-keeper only, got $pairs")
+    pairs.foreach(p => assert(p._3 > 1.0 - 1e-12))
+  }
+
   test("streaming exact-dedup state TTL: idle keys evict, re-ingest re-emits") {
     val dir = Files.createTempDirectory("graft-dttl").toString
     import spark.implicits._
@@ -119,7 +208,7 @@ class StreamingSpec extends AnyFunSuite {
       // immediate re-ingest: still deduped (state alive, TTL reset)
       Corpus.generate(spark, 3).write.parquet(s"$dir/in/b2")
       q.processAllAvailable()
-      Thread.sleep(9000) // idle past the TTL
+      Thread.sleep(20000) // idle FAR past the TTL (2.5x: steal-burst headroom)
       // unrelated doc's trigger evicts the idle keys...
       Corpus.generate(spark, 5).filter(col("doc_id") >= "doc00000004")
         .write.parquet(s"$dir/in/b3")
@@ -162,7 +251,7 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      Thread.sleep(9000) // let doc 0's buckets idle past the TTL
+      Thread.sleep(20000) // idle FAR past the TTL (2.5x: steal-burst headroom)
       // batch 2: unrelated traffic — its trigger fires the expired
       // timeouts, evicting doc 0's bucket state
       Seq((777L, "completely unrelated filler words about gardens rivers " +
