@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Buckets, TextOps}
+
+/** Volume evidence for the dedup/curation stack (the extraction path
+  * has its 1M-doc audited job; this is the same artifact for curation):
+  * 1M synthetic documents that PASS the hygiene gates, with the two
+  * planted pathologies a web corpus brings —
+  *
+  *  - a 100,000-strong identical-text clone cluster (must collapse in
+  *    the exact stage and never reach the LSH join; the hot-bucket
+  *    audit over the staged minhash base proves the salt stayed a
+  *    backstop), and
+  *  - a 1,000-doc DRIFT CHAIN (doc j = a 50-token sliding window at
+  *    offset j over one pseudo-word stream, so consecutive docs are
+  *    ~0.96-Jaccard near-dups and the chain is one connected component
+  *    of graph diameter >> 1 — the shape that exercises dupClusters'
+  *    pointer-jumping rounds at volume).
+  *
+  * Everything is a pure function of the doc id (seed folded into
+  * xxhash64), so two runs must reproduce the outcome counts exactly;
+  * wall times carry /proc/stat steal shares like every bench here.
+  * Runs curate (staging mode, exactClusters) end-to-end, audits the
+  * staged base, then dedupCascade + dupClusters stats. Prints ONE JSON
+  * line.
+  *
+  * Usage: graft.CurateVolumeBench [nDocs] [workDir]
+  */
+object CurateVolumeBench {
+
+  private def cpuTicks(): (Long, Long) = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Exception => (0L, 0L) }
+  }
+
+  /** One token of the infinite pseudo-word stream: every 5th position
+    * is an English marker (so lang-ID and stopword gates pass); the
+    * rest draw from a 100k-word vocab — big enough that background
+    * docs share no shingles by chance.
+    */
+  private def word(t: Column): Column = {
+    val markers = array(Seq("the", "and", "of", "is", "was").map(lit): _*)
+    when(pmod(t, lit(5)) === 0,
+      element_at(markers, (pmod(xxhash64(lit(1), t), lit(5)) + 1).cast("int")))
+      .otherwise(concat(lit("w"), pmod(xxhash64(lit(2), t), lit(100000))))
+  }
+
+  /** 50 tokens starting at stream offset `base` (map-side, no UDF). */
+  private def windowText(base: Column): Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(49)), k => word(base + k)))
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val workDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-curate-vol").toString)
+    val nClones = math.min(100000L, nDocs / 10)
+    val nChain = math.min(1000L, nDocs / 100)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // clone text: constant-foldable (fixed stream offset far from every
+    // per-doc offset range); chain offsets 0..nChain+49; background
+    // offsets disjoint per doc (id * 50)
+    val docs: DataFrame = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(col("id") < nClones, windowText(lit(10000000000L)))
+        .when(col("id") < nClones + nChain, windowText(col("id") - nClones))
+        .otherwise(windowText((col("id") + 1000) * 50)).as("text"))
+
+    def timed[T](f: => T): (T, Double, Double) = {
+      val (s0, t0) = cpuTicks()
+      val w0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - w0) / 1e9
+      val (s1, t1) = cpuTicks()
+      (r, sec, if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0)
+    }
+
+    // ---- curate, staged, cluster-exact drop ------------------------------
+    val curateDir = s"$workDir/curate"
+    val ((kept, nKept, nPairs), curateSec, curateSteal) = timed {
+      val (k, p) = TextOps.curate(docs, col("doc_id"), col("text"),
+        exactClusters = true, staging = Some(curateDir))
+      (k, k.count(), p.count())
+    }
+    // chain sanity: how many chain docs survived (expect 1 keeper if the
+    // chain resolved as one connected component)
+    val chainKept = kept.filter(col("doc_id") >= nClones &&
+      col("doc_id") < nClones + nChain).count()
+    val clonesKept = kept.filter(col("doc_id") < nClones).count()
+
+    // ---- hot-bucket audit over the STAGED base (no recompute) -----------
+    val base = spark.read.parquet(s"$curateDir/minhash_base")
+    val hot = Buckets.hotBuckets(base, Seq("band", "bucket"), maxBucket = 4096)
+      .collect()
+    val maxBucketN = base.groupBy("band", "bucket").count()
+      .agg(max("count")).as[Long].head()
+
+    // ---- dedupCascade + cluster stats ------------------------------------
+    val cascadeDir = s"$workDir/cascade"
+    val ((nCascadePairs, nGroups, maxGroup), cascadeSec, cascadeSteal) = timed {
+      val (pairs, groups) = TextOps.dedupCascade(docs, col("doc_id"), col("text"),
+        staging = Some(cascadeDir))
+      val g = groups.filter(col("n_dups") > 1)
+        .agg(count(lit(1)), max(col("n_dups"))).as[(Long, Long)].head()
+      // materialize the pair set once; the cluster phase consumes the
+      // parquet instead of re-running the banded join
+      pairs.write.parquet(s"$workDir/cascade_pairs")
+      (spark.read.parquet(s"$workDir/cascade_pairs").count(), g._1, g._2)
+    }
+    val (clusterStats, clusterSec, clusterSteal) = timed {
+      val pairs = spark.read.parquet(s"$workDir/cascade_pairs")
+      val clusters = TextOps.dupClusters(pairs,
+        staging = Some(s"$workDir/clusters"))
+      val byKeeper = clusters.groupBy("cluster_keeper").count()
+      (byKeeper.count(), byKeeper.agg(max("count")).as[Long].head())
+    }
+
+    val json =
+      s"""{"n_docs":$nDocs,"n_clones":$nClones,"n_chain":$nChain,""" +
+      s""""curate_sec":${f(curateSec)},"curate_steal_pct":${f(curateSteal)},""" +
+      s""""kept":$nKept,"near_pairs":$nPairs,""" +
+      s""""clones_kept":$clonesKept,"chain_kept":$chainKept,""" +
+      s""""hot_buckets":${hot.length},"max_bucket":$maxBucketN,""" +
+      s""""cascade_sec":${f(cascadeSec)},"cascade_steal_pct":${f(cascadeSteal)},""" +
+      s""""cascade_pairs":$nCascadePairs,"exact_groups_gt1":$nGroups,""" +
+      s""""max_exact_group":$maxGroup,""" +
+      s""""cluster_sec":${f(clusterSec)},"cluster_steal_pct":${f(clusterSteal)},""" +
+      s""""n_clusters":${clusterStats._1},"max_cluster":${clusterStats._2}}"""
+    println(json)
+    spark.stop()
+  }
+
+  private def f(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", java.lang.Double.valueOf(x))
+}

@@ -527,6 +527,16 @@ object TextOps {
 
   /** Hygiene filter with the text column kept (shared by curationFilter
     * and the full curate() composition).
+    *
+    * INVARIANT (load-bearing for [[dedupStaged]]): the verdict must
+    * stay a PURE FUNCTION OF `text`. [[dedupStaged]] selects keeper ids
+    * from the RAW table precisely because a text-hash key's rows then
+    * all pass or all fail together — adding any non-text input to this
+    * filter (a metadata column, a length field read from elsewhere)
+    * would let a REJECTED lower-id duplicate steal a passing row's
+    * keeper slot and silently drop the whole group. Extend the
+    * projection freely; gate only on text-derived columns, and keep the
+    * mixed-verdict test in AnalysisSpec green.
     */
   private def curationStage(docs: DataFrame, id: Column, text: Column,
       lang: String, minTokens: Int, maxPunctRatio: Double): DataFrame =

@@ -112,6 +112,19 @@ class AnalysisSpec extends AnyFunSuite {
     val kept = TextOps.curationFilter(docs, col("doc_id"), col("text"))
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(3L), s"got $kept")
+    // the raw-table keeper shortcut's coupling, pinned (ADVICE r4): the
+    // verdict is a pure function of text, so a same-text group can never
+    // mix verdicts — a REJECTED text's whole dup group (incl. ids below
+    // every passing doc) contributes nothing, and passing groups keep
+    // their min id even with lower-id rejected docs in the raw table
+    val mixed = Seq(
+      (10L, good), (12L, good),                       // keeper = 10
+      (1L, "!!! ??? ***"), (2L, "!!! ??? ***"),       // rejected dup group
+      (3L, "short the end"), (4L, "short the end")    // rejected dup group
+    ).toDF("doc_id", "text")
+    val keptM = TextOps.curationFilter(mixed, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(keptM == Seq(10L), s"got $keptM")
   }
 
   test("boilerplate strip plans partial aggs on hashed keys (no text in exchanges)") {
