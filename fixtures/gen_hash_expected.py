@@ -19,6 +19,7 @@ Writes (all under fixtures/):
     expected_dup_clusters.parquet   (doc_id, cluster_keeper) for q51
     expected_curate.parquet   (doc_id, lang_pred, n_tokens,
                                punct_ratio)                   for q50
+    expected_contamination.parquet  (doc_id, n_hits)          for q58
 
 Mirrored semantics (kept in lockstep with graft.analysis.TextOps — the
 constants here ARE the spec):
@@ -260,6 +261,22 @@ def main(sf_dir):
     write(con, "expected_curate",
           "doc_id BIGINT, lang_pred VARCHAR, n_tokens INTEGER, punct_ratio DOUBLE",
           curate(q50))
+
+    # q58: benchmark decontamination — 8-gram shingle-hash overlap vs the
+    # benchmark set (docs 0-4's texts); corpus = base + planted probes
+    # (doc 0-2's text behind a prefix, ids +3000000); flagged docs with
+    # n_hits = |doc 8-gram set ∩ benchmark 8-gram set| >= 1
+    q58 = dict(base)
+    for i, t in base.items():
+        if i < 3:
+            q58[i + 3000000] = "prefix words ahead then " + t
+    bench = set()
+    for i in range(5):
+        bench |= shingle_hashes(base[i], n=8)
+    write(con, "expected_contamination", "doc_id BIGINT, n_hits BIGINT",
+          sorted((i, len(shingle_hashes(t, n=8) & bench))
+                 for i, t in q58.items()
+                 if len(shingle_hashes(t, n=8) & bench) >= 1))
 
 
 if __name__ == "__main__":

@@ -214,6 +214,52 @@ object SparkEntry {
       TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"), minDocs = 100L)
     }),
 
+    "q56_redact_pii" -> ((s, d) => {
+      // PII redaction + URL->host over deterministic synthesized PII;
+      // the oracle's regexp_replace nest is GENERATED from
+      // TextOps.PiiRedactions (same chain, 'g' flag — Spark replaces
+      // all matches, DuckDB's default is first-only)
+      val dirty = concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@mail.example.org or "),
+        lit("+1 (555) 123-4567 host 10.42.7."), pmod(col("doc_id"), lit(250)),
+        lit(" ssn 123-45-6789 end"))
+      val url = concat(lit("https://user:pw@WWW."), col("source"),
+        lit(".Example.com/p/"), col("doc_id"))
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.redactPii(dirty).as("clean"),
+        TextOps.urlHost(url).as("host"))
+    }),
+
+    "q57_repetition" -> ((s, d) => {
+      // repetition/composition quality signals over text with injected
+      // duplicate lines, a trailing ellipsis and symbol runs — every
+      // field IEEE-identical to the DuckDB oracle's list expressions
+      val wrapped = concat(col("text"),
+        lit("\nrepeat me\nrepeat me\ntrailing...\n1 22 333 #@| end"))
+      t(s, d, "documents")
+        .withColumn("r", TextOps.repetitionSignals(wrapped))
+        .select(col("doc_id"), col("r.n_lines").as("n_lines"),
+          col("r.dup_line_frac").as("dup_line_frac"),
+          col("r.mean_word_len").as("mean_word_len"),
+          col("r.symbol_ratio").as("symbol_ratio"),
+          col("r.ellipsis_line_frac").as("ellipsis_line_frac"),
+          col("r.alpha_word_frac").as("alpha_word_frac"))
+    }),
+
+    "q58_contamination" -> ((s, d) => {
+      // benchmark decontamination: 8-gram overlap vs a benchmark set
+      // (docs 0-4) over the corpus + planted contaminated probes
+      // (doc 0-2's text behind a prefix) — hash-checked against the
+      // independent Python mirror (fixtures/gen_hash_expected.py)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val probes = docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(lit("prefix words ahead then "), col("text")).as("text"))
+      val bench = docs.filter(col("doc_id") < 5).select(col("text"))
+      TextOps.contaminationHits(docs.unionByName(probes),
+        col("doc_id"), col("text"), bench, col("text"), n = 8, minHits = 1L)
+    }),
+
     "q55_reassemble" -> ((s, d) => {
       // the q53 boilerplate strip composed with document reassembly:
       // kept lines -> one cleaned flat text per doc (asDocs = true)
@@ -653,6 +699,41 @@ object SparkEntry {
         "freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1) " +
         "SELECT l.doc_id, l.line_no, l.line FROM lines l " +
         "JOIN freq f USING (line) WHERE f.n_docs < 100"),
+
+    // redaction nest GENERATED from TextOps.PiiRedactions ('g' flag:
+    // Spark regexp_replace replaces all matches, DuckDB defaults to
+    // first-only); host chain mirrors TextOps.urlHost
+    "q56_redact_pii" -> {
+      val dirty = "text || ' contact u' || CAST(doc_id AS varchar) || " +
+        "'@mail.example.org or ' || '+1 (555) 123-4567 host 10.42.7.' || " +
+        "CAST(doc_id % 250 AS varchar) || ' ssn 123-45-6789 end'"
+      val clean = TextOps.PiiRedactions.foldLeft(dirty) { case (e, (re, tag)) =>
+        s"regexp_replace($e, '${re.replace("'", "''")}', '$tag', 'g')"
+      }
+      val url = "'https://user:pw@WWW.' || source || '.Example.com/p/' || " +
+        "CAST(doc_id AS varchar)"
+      s"SELECT doc_id, $clean AS clean, " +
+        s"regexp_replace(lower(regexp_extract($url, '${TextOps.UrlHostPattern}', 1)), " +
+        "'^www\\.', '') AS host FROM documents"
+    },
+
+    "q57_repetition" ->
+      ("WITH base AS (SELECT doc_id, text || chr(10) || 'repeat me' || chr(10) " +
+        "|| 'repeat me' || chr(10) || 'trailing...' || chr(10) || " +
+        "'1 22 333 #@| end' AS t FROM documents), " +
+        "feat AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines, " +
+        "regexp_extract_all(lower(t), '[\\p{L}0-9'']+') AS toks FROM base) " +
+        "SELECT doc_id, len(lines) AS n_lines, " +
+        "CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END AS dup_line_frac, " +
+        "CASE WHEN len(toks) > 0 THEN CAST(coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_word_len, " +
+        "CASE WHEN len(toks) > 0 THEN CAST(len(regexp_extract_all(t, '[#$%&*+=@^_|~]')) AS DOUBLE) / len(toks) ELSE 0.0 END AS symbol_ratio, " +
+        "CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE) / len(lines) ELSE 0.0 END AS ellipsis_line_frac, " +
+        "CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS alpha_word_frac " +
+        "FROM feat"),
+
+    "q58_contamination" ->
+      ("SELECT doc_id, n_hits " +
+        "FROM read_parquet('/root/repo/fixtures/expected_contamination.parquet')"),
 
     "q55_reassemble" ->
       ("WITH wrapped AS (SELECT doc_id, 'HOME | ABOUT | CONTACT' || chr(10) " +

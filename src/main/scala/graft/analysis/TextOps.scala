@@ -76,6 +76,38 @@ object TextOps {
       when(len > 0, punct.cast("double") / len).otherwise(0.0).as("punct_ratio"))
   }
 
+  /** Repetition / composition quality signals (the published web-corpus
+    * filtering rule family: duplicate-line fraction, mean word length,
+    * symbol-to-word ratio, ellipsis-line fraction, alphabetic-word
+    * fraction) as ONE map-side struct projection — the standard gates a
+    * pre-training pipeline applies alongside [[qualityFeatures]]'
+    * length/stopword/punct rules. Every sub-expression is
+    * DuckDB-expressible with identical IEEE arithmetic, so the whole
+    * struct is exactly oracled (q57).
+    */
+  def repetitionSignals(text: Column): Column = {
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val toks = tokens(text)
+    val n = size(toks)
+    val dbl = "double"
+    val dupLineFrac = when(nLines > 0,
+      lit(1.0) - size(array_distinct(lines)).cast(dbl) / nLines).otherwise(0.0)
+    val meanWordLen = when(n > 0,
+      aggregate(toks, lit(0), (a, t) => a + length(t)).cast(dbl) / n).otherwise(0.0)
+    val symbolRatio = when(n > 0,
+      size(regexp_extract_all(text, lit("[#$%&*+=@^_|~]"), lit(0))).cast(dbl) / n)
+      .otherwise(0.0)
+    val ellipsisLineFrac = when(nLines > 0,
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…"))).cast(dbl) / nLines)
+      .otherwise(0.0)
+    val alphaWordFrac = when(n > 0,
+      size(filter(toks, t => t.rlike("\\p{L}"))).cast(dbl) / n).otherwise(0.0)
+    struct(nLines.as("n_lines"), dupLineFrac.as("dup_line_frac"),
+      meanWordLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+      ellipsisLineFrac.as("ellipsis_line_frac"), alphaWordFrac.as("alpha_word_frac"))
+  }
+
   /** Marker-word language-ID heuristic (n-gram-lite): counts per-language
     * marker hits and argmaxes with a fixed language order tiebreak.
     */
@@ -248,6 +280,39 @@ object TextOps {
         transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
           x => x("line")),
         "\n").as("text"))
+
+  // ---- PII redaction / URL parsing (pre-training hygiene) -----------------
+  /** PII redaction patterns, ORDERED (more specific first: SSN before
+    * the generic phone pattern, email before anything that could eat
+    * its digits). A fixed documented set — emails, IPv4 addresses,
+    * US-SSN-shaped ids, and phone-shaped digit runs — in the
+    * RE2-compatible subset (no lookaround/backreferences), so the q56
+    * oracle runs the SAME chain in DuckDB; the SQL is GENERATED from
+    * this list, one source of truth. Anything outside the set survives
+    * (redaction here is a hygiene pass, not a compliance guarantee —
+    * state-of-the-art PII needs NER, which is a model, not a regex).
+    */
+  val PiiRedactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "(?:\\+\\d{1,3}[ .-]?)?(?:\\(\\d{2,4}\\)[ .-]?)?\\d{3,4}[ .-]\\d{3,4}(?:[ .-]\\d{3,4})?\\b" -> "<PHONE>")
+
+  /** Redact the documented PII pattern set (map-only projection). */
+  def redactPii(text: Column): Column =
+    PiiRedactions.foldLeft(text) { case (t, (re, tag)) =>
+      regexp_replace(t, re, tag)
+    }
+
+  /** Registered-host extraction from a URL-ish string: scheme and
+    * userinfo dropped, host lowercased, one leading "www." stripped —
+    * the key [[sourceQuota]] / per-domain dedup group on when the
+    * source column is a raw URL. Same RE2-safe regex in the q56 oracle.
+    */
+  val UrlHostPattern: String =
+    "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@ ]*@)?([^/:?# ]+)"
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, UrlHostPattern, 1)), "^www\\.", "")
 
   // ---- fingerprinting ------------------------------------------------------
   /** Order-sensitive rolling document fingerprint (hash chaining over
@@ -443,6 +508,35 @@ object TextOps {
       .select(col("id_a"), col("id_b"),
         jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---- benchmark decontamination --------------------------------------
+  /** Benchmark contamination check — the decontamination pass every
+    * serious pre-training pipeline runs before a corpus ships: flag
+    * documents sharing at least `minHits` distinct word `n`-grams with
+    * ANY benchmark/eval document (n-gram overlap is the published
+    * standard; n around 8-13 in practice). Returns (doc_id, n_hits) for
+    * flagged docs; callers anti-join to drop them.
+    *
+    * Scale shape: the benchmark side is the distinct set of its shingle
+    * HASHES (8 bytes each; eval suites are MBs against a corpus of TBs)
+    * and ships as an explicit BROADCAST — the corpus side is one
+    * map-parallel explode + broadcast semi-join (no corpus shuffle at
+    * all; per-doc shingle sets are already distinct, fused
+    * ShingleHashes) followed by a partial-agg count on the 8-byte
+    * doc id over HIT rows only. Same 2^-64 hash-collision contract as
+    * every dedup here.
+    */
+  def contaminationHits(docs: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, benchText: Column, n: Int = 8,
+      minHits: Long = 1L): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(explode_outer(ShingleHashes.of(tokens(benchText), n)).as("sh"))
+        .distinct())
+    docs.select(id.as("doc_id"), explode_outer(ShingleHashes.of(tokens(text), n)).as("sh"))
+      .join(bench, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
   }
 
   /** Signature straight from already-hashed shingles. */
@@ -686,6 +780,21 @@ object TextOps {
     require(changed == 0,
       s"dupClusters did not converge in $maxIters rounds — pathological " +
         "graph diameter; raise maxIters")
+    // staged mode: the returned frame reads ONLY the final round's
+    // parquet, so the intermediate tables (edges, labels_0..r-1) are
+    // dead weight — delete them now rather than letting a long job's
+    // staging grow O(rounds * |labels|). (The in-memory rounds need no
+    // analog: unreferenced localCheckpoint blocks are reclaimed by
+    // Spark's ContextCleaner once the per-round Datasets go out of
+    // scope here.)
+    stage.foreach { dir =>
+      val hconf = spark.sparkContext.hadoopConfiguration
+      (Seq("edges") ++ (0 until round).map(r => s"labels_$r")).foreach { nm =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$nm")
+        try p.getFileSystem(hconf).delete(p, true)
+        catch { case _: java.io.IOException => } // cleanup is best-effort
+      }
+    }
     labels.select(col("doc_id"), col("label").as("cluster_keeper"))
   }
 

@@ -244,11 +244,14 @@ class AnalysisSpec extends AnyFunSuite {
         .toDF("id_a", "id_b", "jaccard")
       val got = TextOps.dupClusters(pairs).as[(Long, Long)].collect().sortBy(_._1).toSeq
       assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-      // rounds were staged under a per-call subdir of the conf root
+      // rounds were staged under a per-call subdir of the conf root, and
+      // the intermediates (edges, labels_0..r-1) were cleaned up — only
+      // the final round's labels table, which the result reads, remains
       val subdirs = new java.io.File(root).listFiles().filter(_.isDirectory)
       assert(subdirs.length == 1 && subdirs.head.getName.startsWith("dup_clusters-"))
-      assert(new java.io.File(subdirs.head, "edges").exists())
-      assert(new java.io.File(subdirs.head, "labels_0").exists())
+      val tables = subdirs.head.listFiles().filter(_.isDirectory).map(_.getName)
+      assert(tables.length == 1 && tables.head.matches("labels_[1-9]\\d*"),
+        s"expected only the final labels table, got ${tables.toSeq}")
       // a second call gets its OWN subdir (no fail-fast clash)
       TextOps.dupClusters(pairs).count()
       assert(new java.io.File(root).listFiles().count(_.isDirectory) == 2)
@@ -782,6 +785,72 @@ class AnalysisSpec extends AnyFunSuite {
       if (id == keeper) assert(keptIds.contains(id), s"keeper $id dropped")
       else assert(!keptIds.contains(id), s"non-keeper $id kept")
     }
+  }
+
+  test("redactPii: email/IP/SSN/phone redact; order keeps SSN out of phone's jaws") {
+    val got = Seq(
+      "mail a.b-c_d@sub.example.co.uk now",
+      "server at 192.168.001.42 port x",
+      "ssn 123-45-6789 phone +44 (020) 7946-0958 short 555-1234",
+      "no pii here at all"
+    ).toDF("t").select(TextOps.redactPii(col("t"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail <EMAIL> now",
+      "server at <IP> port x",
+      "ssn <SSN> phone <PHONE> short <PHONE>",
+      "no pii here at all"), s"got $got")
+  }
+
+  test("urlHost: scheme/userinfo/port/path drop, www strips, host lowercases") {
+    val got = Seq(
+      "https://user:pw@WWW.Example.COM:8443/a/b?q=1#f",
+      "http://sub.domain.org/path",
+      "ftp://files.example.net",
+      "bare-host.example.io/page",
+      "www.nested.www.example.com/x"
+    ).toDF("u").select(TextOps.urlHost(col("u"))).as[String].collect().toSeq
+    assert(got == Seq("example.com", "sub.domain.org", "files.example.net",
+      "bare-host.example.io", "nested.www.example.com"), s"got $got")
+  }
+
+  test("repetitionSignals: known values on a crafted doc") {
+    val doc = "one two three\nrepeat\nrepeat\nend...\n# @ |"
+    val r = Seq(doc).toDF("t")
+      .select(TextOps.repetitionSignals(col("t")).as("r")).select("r.*")
+      .as[(Int, Double, Double, Double, Double, Double)].head()
+    assert(r._1 == 5)                       // n_lines
+    assert(r._2 == 1.0 - 4.0 / 5.0)         // one duplicated line
+    // tokens: one two three repeat repeat end -> lens 3+3+5+6+6+3 = 26/6
+    assert(r._3 == 26.0 / 6.0, s"mean_word_len ${r._3}")
+    assert(r._4 == 3.0 / 6.0, s"symbol_ratio ${r._4}") // # @ |
+    assert(r._5 == 1.0 / 5.0)               // one ellipsis line
+    assert(r._6 == 6.0 / 6.0)               // all tokens alphabetic
+  }
+
+  test("contaminationHits: probes flag, clean docs don't; benchmark side broadcasts") {
+    val docs = documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    val probes = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        concat(lit("leading prefix then "), col("text")).as("text"))
+    val bench = docs.filter(col("doc_id") < 5).select(col("text"))
+    val hits = TextOps.contaminationHits(docs.unionByName(probes),
+      col("doc_id"), col("text"), bench, col("text"), n = 8)
+    val flagged = hits.select("doc_id").as[Long].collect().toSet
+    // benchmark members self-hit; planted probes hit their source doc
+    (0L until 5L).foreach(i => assert(flagged.contains(i), s"bench doc $i unflagged"))
+    (0L until 3L).foreach(i => assert(flagged.contains(i + 900000), s"probe $i unflagged"))
+    // organic hits among the synthetic corpus are legitimate (its docs
+    // genuinely reuse sentence fragments; the Python oracle mirror flags
+    // the identical set at sf0.01) — so no no-organic assertion here
+    // minHits raises the bar: probe hit counts equal their interior
+    // shingle overlap, far above 1 — a huge threshold empties the probes
+    assert(TextOps.contaminationHits(probes, col("doc_id"), col("text"),
+      bench, col("text"), n = 8, minHits = 100000L).count() == 0)
+    // plan: benchmark side is a broadcast semi-join — the corpus never
+    // shuffles for the membership test
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"contamination join is not a broadcast semi-join:\n$plan")
   }
 
   test("sourceQuota: keeps the top-N per source by (quality desc, id asc)") {
