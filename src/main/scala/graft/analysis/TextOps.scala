@@ -298,11 +298,23 @@ object TextOps {
     "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
     "(?:\\+\\d{1,3}[ .-]?)?(?:\\(\\d{2,4}\\)[ .-]?)?\\d{3,4}[ .-]\\d{3,4}(?:[ .-]\\d{3,4})?\\b" -> "<PHONE>")
 
-  /** Redact the documented PII pattern set (map-only projection). */
-  def redactPii(text: Column): Column =
+  /** Redact the documented PII pattern set (map-only projection). Both
+    * surfaces (this and the SQL-registered `redact_pii`) share the one
+    * catalyst chain, like [[stripMarkup]].
+    */
+  def redactPii(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(redactPiiExpr(Bridge.expression(text)))
+  }
+
+  private[graft] def redactPiiExpr(
+      text: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CL, RegExpReplace}
     PiiRedactions.foldLeft(text) { case (t, (re, tag)) =>
-      regexp_replace(t, re, tag)
+      new RegExpReplace(t, CL(re), CL(tag))
     }
+  }
 
   /** Registered-host extraction from a URL-ish string: scheme and
     * userinfo dropped, host lowercased, one leading "www." stripped —
@@ -311,8 +323,18 @@ object TextOps {
     */
   val UrlHostPattern: String =
     "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@ ]*@)?([^/:?# ]+)"
-  def urlHost(url: Column): Column =
-    regexp_replace(lower(regexp_extract(url, UrlHostPattern, 1)), "^www\\.", "")
+  def urlHost(url: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(urlHostExpr(Bridge.expression(url)))
+  }
+
+  private[graft] def urlHostExpr(
+      url: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CL, Lower, RegExpExtract, RegExpReplace}
+    new RegExpReplace(Lower(RegExpExtract(url, CL(UrlHostPattern), CL(1))),
+      CL("^www\\."), CL(""))
+  }
 
   // ---- fingerprinting ------------------------------------------------------
   /** Order-sensitive rolling document fingerprint (hash chaining over

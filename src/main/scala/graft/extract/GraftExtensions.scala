@@ -136,6 +136,33 @@ object GraftFunctions {
     graft.analysis.TextOps.stripMarkupExpr(args.head)
   }
 
+  /** redact_pii / url_host: compositions sharing the DataFrame path's
+    * catalyst chain, same contract as strip_markup.
+    */
+  private def buildRedactPii(args: Seq[Expression]): Expression = {
+    arity(args, 1, "redact_pii")
+    graft.analysis.TextOps.redactPiiExpr(args.head)
+  }
+
+  private def buildUrlHost(args: Seq[Expression]): Expression = {
+    arity(args, 1, "url_host")
+    graft.analysis.TextOps.urlHostExpr(args.head)
+  }
+
+  /** bounded_top_k(quality, id, k): the capped top-k AGGREGATE — the
+    * registry builder returns the bare AggregateFunction; the analyzer
+    * wraps it in an AggregateExpression like any built-in agg. k sizes
+    * the heap, so it must be a literal.
+    */
+  private def buildBoundedTopK(args: Seq[Expression]): Expression = {
+    arity(args, 3, "bounded_top_k")
+    graft.analysis.BoundedTopKAgg(args.head, args(1), args(2) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"bounded_top_k: third argument must be an integer literal, got $other")
+    })
+  }
+
   private def info(cls: Class[_], name: String) =
     new ExpressionInfo(cls.getName, name)
 
@@ -158,7 +185,16 @@ object GraftFunctions {
       buildAnalyteGather(_)),
     (FunctionIdentifier("strip_markup"),
       info(graft.analysis.TextOps.getClass, "strip_markup"),
-      buildStripMarkup(_)))
+      buildStripMarkup(_)),
+    (FunctionIdentifier("redact_pii"),
+      info(graft.analysis.TextOps.getClass, "redact_pii"),
+      buildRedactPii(_)),
+    (FunctionIdentifier("url_host"),
+      info(graft.analysis.TextOps.getClass, "url_host"),
+      buildUrlHost(_)),
+    (FunctionIdentifier("bounded_top_k"),
+      info(classOf[graft.analysis.BoundedTopKAgg], "bounded_top_k"),
+      buildBoundedTopK(_)))
 
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit = {

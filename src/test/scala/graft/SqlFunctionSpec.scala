@@ -105,6 +105,46 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("string literal"))
   }
 
+  test("redact_pii / url_host are SQL-callable and match the DataFrame path") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      ("a@b.co at 10.0.0.1 call 555-123-4567", "https://www.Ex.COM:80/p"),
+      ("clean", "host.only")).toDF("t", "u")
+    df.createOrReplaceTempView("sql_pii_docs")
+    val sql = spark.sql(
+      "SELECT redact_pii(t) AS c, url_host(u) AS h FROM sql_pii_docs")
+      .as[(String, String)].collect().toSeq
+    val api = df.select(
+      graft.analysis.TextOps.redactPii(col("t")).as("c"),
+      graft.analysis.TextOps.urlHost(col("u")).as("h"))
+      .as[(String, String)].collect().toSeq
+    assert(sql == api)
+    assert(sql.head == (("<EMAIL> at <IP> call <PHONE>", "ex.com")))
+    // null propagates like the built-ins both surfaces compose
+    assert(spark.sql("SELECT redact_pii(CAST(NULL AS string)) AS c")
+      .collect().head.isNullAt(0))
+  }
+
+  test("bounded_top_k aggregate is SQL-callable with the (quality desc, id asc) rule") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 50L),
+      (5L, "b", 5L)).toDF("id", "src", "q")
+      .createOrReplaceTempView("sql_quota_docs")
+    val rows = spark.sql(
+      """SELECT src, bounded_top_k(q, id, 2) AS keep
+        |FROM sql_quota_docs GROUP BY src ORDER BY src""".stripMargin)
+      .as[(String, Seq[Long])].collect().toSeq
+    assert(rows == Seq("a" -> Seq(4L, 2L), "b" -> Seq(5L)))
+    // k must be a literal (it sizes the heap at plan time)
+    val e = intercept[Exception] {
+      spark.sql("SELECT bounded_top_k(q, id, id) FROM sql_quota_docs").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("strip_markup is SQL-callable and matches the DataFrame path") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
