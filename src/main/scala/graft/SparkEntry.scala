@@ -214,6 +214,11 @@ object SparkEntry {
       TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"), minDocs = 100L)
     }),
 
+    "q59_corpus_stats" -> ((s, d) =>
+      // per-source corpus composition report: exact volumes + language
+      // mix, one partial-agg shuffle keyed by source
+      TextOps.corpusStats(t(s, d, "documents"), col("source"), col("text"))),
+
     "q56_redact_pii" -> ((s, d) => {
       // PII redaction + URL->host over deterministic synthesized PII;
       // the oracle's regexp_replace nest is GENERATED from
@@ -699,6 +704,25 @@ object SparkEntry {
         "freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1) " +
         "SELECT l.doc_id, l.line_no, l.line FROM lines l " +
         "JOIN freq f USING (line) WHERE f.n_docs < 100"),
+
+    "q59_corpus_stats" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "sum(n_tokens) AS total_tokens, min(n_tokens) AS min_tokens, " +
+        "max(n_tokens) AS max_tokens, sum(n_chars) AS total_chars, " +
+        "count(DISTINCT lang) AS n_langs, " +
+        "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en FROM (" +
+        "SELECT source, " +
+        "len(regexp_extract_all(lower(text), '[\\p{L}0-9'']+')) AS n_tokens, " +
+        "length(text) AS n_chars, CASE " +
+        "WHEN s_es > greatest(s_en, s_fr, s_de) THEN 'es' " +
+        "WHEN s_de > greatest(s_en, s_fr) THEN 'de' " +
+        "WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS lang FROM (" +
+        "SELECT source, text, " +
+        "len(regexp_extract_all(lower(text), '\\b(?:the|and|of|is|was)\\b')) AS s_en, " +
+        "len(regexp_extract_all(lower(text), '\\b(?:le|la|les|des|est|une)\\b')) AS s_fr, " +
+        "len(regexp_extract_all(lower(text), '\\b(?:der|die|das|und|ist)\\b')) AS s_de, " +
+        "len(regexp_extract_all(lower(text), '\\b(?:el|los|las|es|una)\\b')) AS s_es " +
+        "FROM documents)) GROUP BY 1"),
 
     // redaction nest GENERATED from TextOps.PiiRedactions ('g' flag:
     // Spark regexp_replace replaces all matches, DuckDB defaults to

@@ -605,6 +605,28 @@ object TextOps {
       .drop("__sq_id")
   }
 
+  /** Per-source corpus composition report — the summary every
+    * pre-training pipeline publishes with a release: doc / token /
+    * char volumes, token extremes, and the language mix per source.
+    * One partial-agg shuffle keyed by source; every measure is exact
+    * (sums/counts/min/max, no sketches) so the whole report is
+    * DuckDB-oracled (q59). Consumers derive ratios (avg tokens,
+    * en-fraction) from the exact fields.
+    */
+  def corpusStats(docs: DataFrame, source: Column, text: Column): DataFrame =
+    docs.select(source.as("source"), text.as("text"))
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", langIdBest(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_chars").as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+
   // ---- curation filter (the pre-training hygiene pass) ----------------
   /** Language gate + quality-ratio window + exact-dedup keeper in one
     * composition: ONE map-side projection computes every feature, the

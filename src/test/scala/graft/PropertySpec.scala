@@ -118,6 +118,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BoundedTopK == naive top-N under random data, partitionings, and k") {
+    // the custom aggregate's heap update/merge/serialize paths vs a
+    // driver-side reference, across partition counts (1 partition = no
+    // merge; 16 = heavy partial-merge traffic) and quality tie density
+    val rnd = new scala.util.Random(77)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, s"s${rnd.nextInt(7)}", rnd.nextInt(12).toLong) // dense ties
+    }
+    val expected = (k: Int) => rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy { case (id, _, q) => (-q, id) }.take(k).map(_._1)
+    }.toSeq.sorted
+    for (parts <- Seq(1, 3, 16); k <- Seq(1, 5, 50)) {
+      val df = rows.toDF("id", "src", "q").repartition(parts)
+      val got = graft.analysis.TextOps.sourceQuota(df, col("id"), col("src"),
+        col("q"), k).select("id").as[Long].collect().sorted.toSeq
+      assert(got == expected(k), s"parts=$parts k=$k: mismatch")
+    }
+  }
+
   test("doc set permutation / duplication-of-partitioning invariance") {
     val docs = graft.corpus.Corpus.generate(spark, 64)
     def run(d: org.apache.spark.sql.Dataset[graft.schema.DocRow]) =
