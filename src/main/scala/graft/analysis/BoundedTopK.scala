@@ -33,7 +33,9 @@ import org.apache.spark.sql.types._
   * Rows with a null quality or null id are skipped (keeper candidates
   * must be rankable; the SQL-oracle equivalent is a NOT NULL quality
   * key). Quality must not be NaN (Double.compare would rank NaN above
-  * everything; engines disagree on NaN ordering).
+  * everything; engines disagree on NaN ordering), and an integral
+  * quality key wider than 2^53 loses low bits in the double coercion —
+  * pre-scale such keys (a genuine quality score never needs 53 bits).
   *
   * TypedImperativeAggregate (not a DeclarativeAggregate) is the right
   * tool: the buffer is an object heap, planned into

@@ -136,14 +136,19 @@ object StreamingExtract {
     * trigger would spin batches back-to-back while any timeout is
     * pending.
     */
-  /** embeddings-table-shaped stream input (vec_id, embedding). Declared
-    * array<double>: a float-typed producer casts upstream (file-source
-    * schemas are fixed per query; batch entry points tolerate both via
-    * implicit cast, see VectorOps).
+  /** embeddings-table-shaped stream input (vec_id, embedding). Two
+    * declared schemas because a file-source schema is fixed per query
+    * and parquet will not silently widen float->double: pass
+    * [[vecDocsSchemaFloat]] as `schema` when the table stores
+    * array<float> (the embeddings testdata does) — the stream casts to
+    * double after the scan either way, so downstream is identical.
     */
   val vecDocsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(DoubleType))))
+  val vecDocsSchemaFloat: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
 
   /** Streaming embedding near-dup — the vector twin of [[nearDupStream]]
     * and the continuous form of `VectorOps.cosineDupPairs`: sign-LSH
@@ -171,11 +176,13 @@ object StreamingExtract {
     */
   def vectorNearDupStream(spark: SparkSession, inDir: String,
       nPlanes: Int = 16, tables: Int = 4, minCos: Double = 0.99,
-      maxPerBucket: Int = 64, stateTtlMs: Long = 0L): DataFrame = {
+      maxPerBucket: Int = 64, stateTtlMs: Long = 0L,
+      schema: StructType = vecDocsSchema): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.analysis.SignBuckets
-    val keyed = spark.readStream.schema(vecDocsSchema).parquet(inDir)
+    val keyed = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
       .withColumn("bk", explode_outer(SignBuckets.of(col("embedding"), nPlanes, tables)))
       .select(col("bk.table"), col("bk.bucket"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Long, Array[Double])]

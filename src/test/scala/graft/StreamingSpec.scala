@@ -151,6 +151,31 @@ class StreamingSpec extends AnyFunSuite {
     pairs.foreach(p => assert(p._3 >= 0.99 && p._3 <= 1.0 + 1e-12))
   }
 
+  test("streaming embedding near-dup reads the native float-typed table") {
+    val dir = Files.createTempDirectory("graft-svfloat").toString
+    import spark.implicits._
+    // the canonical embeddings table stores array<float>
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20)
+    emb.write.parquet(s"$dir/in/b1")
+    val q = StreamingExtract.vectorNearDupStream(spark, s"$dir/in/*",
+        nPlanes = 8, tables = 4, minCos = 0.999,
+        schema = StreamingExtract.vecDocsSchemaFloat)
+      .writeStream.format("memory").queryName("graft_svfloat_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      emb.select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+        .write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val flagged = spark.table("graft_svfloat_out")
+      .select("vec_id", "dup_of").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach(i =>
+      assert(flagged.contains((i + 1000, i)), s"missed float-table dup $i"))
+  }
+
   test("streaming embedding near-dup TTL: idle buckets evict, then re-learn") {
     val dir = Files.createTempDirectory("graft-svttl").toString
     import spark.implicits._
