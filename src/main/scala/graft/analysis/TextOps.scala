@@ -61,7 +61,11 @@ object TextOps {
   }
 
   // ---- quality / language heuristics (pure projections) -------------------
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  /** Word lists are the single source of truth: the regexes below AND
+    * the fused [[CurationFeatures]] scanner are built from these — the
+    * two encodings must count identically (byte-equality test).
+    */
+  private[analysis] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** Length / punctuation / stopword-ratio quality score in [0,1]. */
   def qualityFeatures(text: Column): Column = {
@@ -111,24 +115,30 @@ object TextOps {
   /** Marker-word language-ID heuristic (n-gram-lite): counts per-language
     * marker hits and argmaxes with a fixed language order tiebreak.
     */
-  val LangMarkers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(?:the|and|of|is|was)\\b",
-    "fr" -> "\\b(?:le|la|les|des|est|une)\\b",
-    "de" -> "\\b(?:der|die|das|und|ist)\\b",
-    "es" -> "\\b(?:el|los|las|es|una)\\b")
+  private[analysis] val LangMarkerWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "was"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "es", "una"))
+  val LangMarkers: Seq[(String, String)] =
+    LangMarkerWords.map { case (l, ws) =>
+      l -> ws.mkString("\\b(?:", "|", ")\\b")
+    }
   def langIdScores(text: Column): Seq[(String, Column)] =
     LangMarkers.map { case (l, re) =>
       l -> size(regexp_extract_all(lower(text), lit(re), lit(0)))
     }
-  def langIdBest(text: Column): Column = {
-    val scores = langIdScores(text)
-    // argmax with declaration-order tiebreak, expression-only
+  def langIdBest(text: Column): Column = langArgmax(langIdScores(text))
+
+  /** argmax with declaration-order tiebreak, expression-only — shared
+    * by the regex scores and the fused [[CurationFeatures]] fields.
+    */
+  private def langArgmax(scores: Seq[(String, Column)]): Column =
     scores.tail.foldLeft(
       struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
       case (acc, (l, s)) =>
         when(s > acc("s"), struct(s.as("s"), lit(l).as("l"))).otherwise(acc)
     }("l")
-  }
 
   // ---- markup strip / boilerplate removal (main-content extraction) --------
   /** HTML/markup -> main-content text, expression-only (north_rule's
@@ -639,8 +649,9 @@ object TextOps {
     */
   def curationFilter(docs: DataFrame, id: Column, text: Column,
       lang: String = "en", minTokens: Int = 30,
-      maxPunctRatio: Double = 0.2): DataFrame =
-    dedupStaged(curationStage(docs, id, text, lang, minTokens, maxPunctRatio),
+      maxPunctRatio: Double = 0.2, fused: Boolean = true): DataFrame =
+    dedupStaged(
+      curationStage(docs, id, text, lang, minTokens, maxPunctRatio, fused),
       docs, id, text).drop("text")
 
   /** Exact-dedup a hygiene-FILTERED projection without paying the
@@ -677,15 +688,35 @@ object TextOps {
     * mixed-verdict test in AnalysisSpec green.
     */
   private def curationStage(docs: DataFrame, id: Column, text: Column,
-      lang: String, minTokens: Int, maxPunctRatio: Double): DataFrame =
-    docs.select(id.as("doc_id"), text.as("text"))
-      .withColumn("f", qualityFeatures(col("text")))
-      .withColumn("lang_pred", langIdBest(col("text")))
-      .select(col("doc_id"), col("text"), col("lang_pred"),
-        col("f.n_tokens").as("n_tokens"),
-        col("f.punct_ratio").as("punct_ratio"))
-      .filter(col("lang_pred") === lang && col("n_tokens") >= minTokens &&
-        col("punct_ratio") <= maxPunctRatio)
+      lang: String, minTokens: Int, maxPunctRatio: Double,
+      fused: Boolean = true): DataFrame = {
+    val featured =
+      if (fused) {
+        // one fused walk instead of seven regex passes; byte-identical
+        // to the HOF chain below (cross-validation test + the q49/q50
+        // oracles, whose DuckDB side mirrors the regex semantics)
+        val cf = col("__cf")
+        docs.select(id.as("doc_id"), text.as("text"))
+          .withColumn("__cf", CurationFeatures.of(col("text")))
+          .select(col("doc_id"), col("text"),
+            langArgmax(TextOps.LangMarkerWords.map { case (l, _) =>
+              l -> cf.getField(s"s_$l")
+            }).as("lang_pred"),
+            cf.getField("n_tokens").as("n_tokens"),
+            when(cf.getField("n_chars") > 0,
+              cf.getField("n_punct").cast("double") / cf.getField("n_chars"))
+              .otherwise(0.0).as("punct_ratio"))
+      } else {
+        docs.select(id.as("doc_id"), text.as("text"))
+          .withColumn("f", qualityFeatures(col("text")))
+          .withColumn("lang_pred", langIdBest(col("text")))
+          .select(col("doc_id"), col("text"), col("lang_pred"),
+            col("f.n_tokens").as("n_tokens"),
+            col("f.punct_ratio").as("punct_ratio"))
+      }
+    featured.filter(col("lang_pred") === lang && col("n_tokens") >= minTokens &&
+      col("punct_ratio") <= maxPunctRatio)
+  }
 
   /** The COMPLETE curation pass a pre-training corpus takes, composed:
     * hygiene filter (map-side) -> exact-dup collapse (partial-agg keyed
@@ -709,8 +740,10 @@ object TextOps {
       maxBucket: Int = 4096,
       exactClusters: Boolean = false,
       staging: Option[String] = None,
-      scope: CacheScope = CacheScope.unmanaged): (DataFrame, DataFrame) = {
-    val staged = curationStage(docs, id, text, lang, minTokens, maxPunctRatio)
+      scope: CacheScope = CacheScope.unmanaged,
+      fused: Boolean = true): (DataFrame, DataFrame) = {
+    val staged =
+      curationStage(docs, id, text, lang, minTokens, maxPunctRatio, fused)
     // keepers feed BOTH the near-dup join and the final anti-join:
     // materialize so the regex-heavy hygiene projection and the
     // exact-dedup shuffle run once (default cache, lifecycle is the
@@ -722,7 +755,7 @@ object TextOps {
       dedupStaged(staged, docs, id, text),
       staging, "curate_keepers", scope)
     val pairs = minhashDupPairs(keepers, col("doc_id"), col("text"),
-      n, m, bands, minJaccard, maxBucket, staging = staging, scope = scope)
+      n, m, bands, minJaccard, maxBucket, fused, staging, scope)
     val dropIds =
       if (exactClusters) clusterDropIds(pairs, staging)
       else pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()

@@ -99,6 +99,53 @@ class AnalysisSpec extends AnyFunSuite {
       minDocs = 10L, asDocs = true).count() == 0)
   }
 
+  test("fused CurationFeatures == regex chain (corpus + adversarial edges)") {
+    import graft.analysis.CurationFeatures
+    // adversarial inputs for the exact-Java-regex semantics: ASCII-\b
+    // boundaries (\bthe\b DOES match inside 'thé' — é is a letter but
+    // not an ASCII word char), apostrophe tokens, digit runs, unicode
+    // whitespace (NBSP is NOT Java \s, so it counts as punct), empty
+    // and markup-ish strings, list-order alternation (le vs les)
+    val edge = Seq(
+      "", " ", "the", "thé", "xthé the_x the-x the", "l'été c'est",
+      "a1'2b  3", "le les des le", "was is\tand\nof",
+      "ist das der die und", "¡es una! ¿los las es?",
+      "the the the", "it it of of a a", "#@| ~^_ 123",
+      "ThE AnD oF iS wAs", "x_the_x the")
+    val corpus = documents.select(col("text")).as[String].collect().toSeq
+    val all = (edge ++ corpus).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = all.toDF("id", "text")
+    val fused = df.select(col("id"), CurationFeatures.of(col("text")).as("cf"))
+      .select(col("id"), col("cf.n_tokens"), col("cf.n_punct"),
+        col("cf.n_stopwords"), col("cf.s_en"), col("cf.s_fr"), col("cf.s_de"),
+        col("cf.s_es"), col("cf.n_chars"))
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)].collect().sortBy(_._1)
+    val scores = TextOps.langIdScores(col("text"))
+    val hof = df.select(col("id"),
+        TextOps.qualityFeatures(col("text")).as("f"),
+        scores(0)._2.as("en"), scores(1)._2.as("fr"),
+        scores(2)._2.as("de"), scores(3)._2.as("es"),
+        length(col("text")).as("len"))
+      .select(col("id"), col("f.n_tokens"), col("f.n_punct"),
+        col("f.n_stopwords"), col("en"), col("fr"), col("de"), col("es"),
+        col("len"))
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(fused.length == hof.length && fused.nonEmpty)
+    fused.zip(hof).foreach { case (f, h) =>
+      assert(f == h, s"mismatch on input <${all(f._1.toInt)._2}>: fused $f vs regex $h")
+    }
+    // null text -> null struct, like the regex chain
+    assert(Seq(Option.empty[String]).toDF("text")
+      .select(CurationFeatures.of(col("text"))).collect().head.isNullAt(0))
+    // the full curation paths agree end-to-end
+    val docs = documents.select(col("doc_id"), col("text"))
+    val f = TextOps.curationFilter(docs, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val h = TextOps.curationFilter(docs, col("doc_id"), col("text"), fused = false)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(f == h && f.nonEmpty)
+  }
+
   test("curationFilter: min-id keeper per duplicate text, rejects never leak") {
     // keeper ids come from the RAW table (dedupStaged): rejected texts
     // must not leak in, and a lower-id REJECTED doc must not steal the
