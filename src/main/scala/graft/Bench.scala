@@ -19,16 +19,7 @@ import graft.corpus.Corpus
   */
 object Bench {
 
-  /** (stealTicks, totalTicks) from the aggregate /proc/stat cpu line. */
-  private def cpuTicks(): (Long, Long) = {
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
-      } finally src.close()
-    } catch { case _: Exception => (0L, 0L) }
-  }
+  private def cpuTicks(): (Long, Long) = BenchUtil.cpuTicks()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,15 +31,7 @@ import graft.analysis.{Buckets, TextOps}
   */
 object CurateVolumeBench {
 
-  private def cpuTicks(): (Long, Long) = {
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
-      } finally src.close()
-    } catch { case _: Exception => (0L, 0L) }
-  }
+  private def cpuTicks(): (Long, Long) = BenchUtil.cpuTicks()
 
   /** One token of the infinite pseudo-word stream: every 5th position
     * is an English marker (so lang-ID and stopword gates pass); the

@@ -48,6 +48,13 @@ final class CacheScope private (tracking: Boolean) {
 
   /** Unpersist (blocking) every cache this scope's call registered.
     * Idempotent; the scope can be reused afterwards.
+    *
+    * Caveat (inherent to Spark's CacheManager): caches are keyed by
+    * LOGICAL PLAN and deduped, so if a concurrent caller cached the
+    * IDENTICAL plan (same input, same parameters), both scopes share
+    * one entry and this release drops it for both — the same sharing
+    * `spark.catalog.clearCache()` has, just scoped to matching plans
+    * instead of everything. Distinct inputs/parameters never collide.
     */
   def release(): Unit = synchronized {
     caches.foreach(_.unpersist(blocking = true))
@@ -65,9 +72,13 @@ object CacheScope {
   * otherwise hold round state in executor memory
   * ([[TextOps.dupClusters]]'s localCheckpoint) auto-select parquet
   * staging under a PER-INVOCATION unique subdir (no two calls ever
-  * share one, so the fail-fast contract cannot trip). The subdirs are
-  * the caller's to delete once the returned DataFrame has been
-  * consumed.
+  * share one, so the fail-fast contract cannot trip). Retention: each
+  * finished call keeps only the table its returned DataFrame reads
+  * (dupClusters deletes its round intermediates on convergence); the
+  * subdirs are the caller's to delete once the result has been
+  * consumed — each resolved subdir is logged at INFO ("graft staging:
+  * ...") and listable under the root, so a maintenance sweep can map
+  * and clear them without guessing.
   */
 object StagingConf {
   val Key = "spark.graft.stagingDir"
@@ -75,13 +86,21 @@ object StagingConf {
 
 private[analysis] object Staging {
 
+  private lazy val logger =
+    org.slf4j.LoggerFactory.getLogger("graft.analysis.Staging")
+
   /** Explicit per-call staging wins; else the engine-wide conf dir
     * (namespaced per call); else None (in-memory barrier).
     */
   def resolve(spark: SparkSession, staging: Option[String],
       op: String): Option[String] =
     staging.orElse(spark.conf.getOption(StagingConf.Key)
-      .map(d => s"$d/$op-${java.util.UUID.randomUUID()}"))
+      .map { d =>
+        val dir = s"$d/$op-${java.util.UUID.randomUUID()}"
+        // surface the generated name: it is the caller's to delete
+        logger.info(s"graft staging: $op rounds staged under $dir")
+        dir
+      })
 
   def materialize(df: DataFrame, staging: Option[String], name: String,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = staging match {

@@ -176,7 +176,11 @@ object TextOps {
     "&quot;" -> "\"", "&#34;" -> "\"", "&#x22;" -> "\"",
     "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'",
     "&mdash;" -> "—", "&ndash;" -> "–", "&hellip;" -> "…",
-    "&amp;" -> "&", "&#38;" -> "&", "&#x26;" -> "&")
+    // numeric amp forms BEFORE &amp; (which is the very last): the
+    // numeric patterns cannot see inside "&amp;#38;" ("&" is followed
+    // by "a"), so after &amp; -> "&" the residue "&#38;" stays LITERAL
+    // — uniform conservative degrade for every double-encoded form
+    "&#38;" -> "&", "&#x26;" -> "&", "&amp;" -> "&")
 
   /** The catalyst tree both surfaces share: the DataFrame path wraps it
     * in a Column, the SQL registration (GraftFunctions `strip_markup`)

@@ -190,9 +190,12 @@ object StreamingExtract {
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     def cos(a: Array[Double], b: Array[Double]): Double = {
+      // dimension mismatch -> NaN (never >= minCos): the batch twin's
+      // CosineSim returns null there, which the cos >= minCos filter
+      // drops — a truncated malformed vector must not score 1.0
+      if (a.length != b.length) return Double.NaN
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     }
     keyed.groupByKey(r => (r._1, r._2))

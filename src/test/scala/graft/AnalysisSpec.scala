@@ -49,9 +49,11 @@ class AnalysisSpec extends AnyFunSuite {
     // decode (the fixed EntityDecodes table); the double-encoded
     // &amp;#39; degrades conservatively to the LITERAL &#39;
     val refs = Seq("<p>it&#39;s &#x27;q&#x27; &#34;d&#x22;&#160;A&#60;B &#x3c;kept&#x3E; " +
-      "x&mdash;y&ndash;z&hellip; AT&#38;T &#x26;co &amp;#39;</p>").toDF("h")
+      "x&mdash;y&ndash;z&hellip; AT&#38;T &#x26;co &amp;#39; &amp;#38;</p>").toDF("h")
       .select(TextOps.stripMarkup(col("h"))).as[String].head()
-    assert(refs == "it's 'q' \"d\" A<B <kept> x—y–z… AT&T &co &#39;", s"got [$refs]")
+    // every double-encoded form degrades to the LITERAL inner entity —
+    // including &amp;#38; (the numeric amp forms decode before &amp;)
+    assert(refs == "it's 'q' \"d\" A<B <kept> x—y–z… AT&T &co &#39; &#38;", s"got [$refs]")
   }
 
   test("boilerplate strip: corpus-frequent lines drop, content lines survive") {
