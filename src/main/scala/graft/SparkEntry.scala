@@ -370,6 +370,43 @@ object SparkEntry {
           sum(when(col("l_linestatus") === "O", col("l_quantity"))
             .otherwise(0.0)).as("qty_o"))),
 
+    "q60_asof_join" -> ((s, d) => {
+      // point-in-time join: every click matched to the user's latest
+      // purchase at-or-before it (TimeOps.asofJoin: union + per-key
+      // ordered carry-forward, ONE hash shuffle — vs DuckDB's native
+      // ASOF LEFT JOIN). Right side pre-aggregated unique per
+      // (user, time) so the at-equal-time tiebreak is deterministic.
+      import graft.analysis.TimeOps
+      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), us(col("ts")).as("t_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), us(col("ts")).as("t_us"))
+        .agg(max(col("event_id")).as("r_event_id"))
+      TimeOps.asofJoin(clicks, purchases, "user_id", "t_us")
+        .select(col("event_id"), col("asof.r_event_id").as("r_event_id"))
+    }),
+
+    "q61_range_join" -> ((s, d) => {
+      // interval join as an equi-join: views falling inside the hour
+      // after any error event (TimeOps.rangeJoinBucketed: intervals
+      // exploded onto covered time buckets, hash join on bucket id +
+      // residual containment filter — vs DuckDB's inequality join)
+      import graft.analysis.TimeOps
+      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+      val hourUs = 3600L * 1000000L
+      val ev = t(s, d, "events")
+      val pts = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("p_event_id"), us(col("ts")).as("t_us"))
+      val iv = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("i_event_id"), us(col("ts")).as("s_us"))
+        .withColumn("e_us", col("s_us") + hourUs)
+      TimeOps.rangeJoinBucketed(pts, col("t_us"), iv, col("s_us"), col("e_us"),
+          bucketWidth = hourUs)
+        .select(col("p_event_id"), col("i_event_id"))
+    }),
+
     // ---- rows-only entries (not SQL-expressible in DuckDB) ---------------
     "q40_sketch_aggs" -> ((s, d) =>
       // HLL / quantile sketches: algorithms (and thus exact outputs)
@@ -807,6 +844,24 @@ object SparkEntry {
 
     "q32_json_extract" ->
       ("SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events"),
+
+    // DuckDB's NATIVE ASOF join checks the union+window re-expression
+    "q60_asof_join" ->
+      ("WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS t_us " +
+        "FROM events WHERE event_type = 'click'), " +
+        "r AS (SELECT user_id, epoch_us(ts) AS t_us, max(event_id) AS r_event_id " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+        "SELECT l.event_id, r.r_event_id FROM l ASOF LEFT JOIN r " +
+        "ON l.user_id = r.user_id AND l.t_us >= r.t_us"),
+
+    // DuckDB's plain inequality join checks the bucketed equi-join form
+    "q61_range_join" ->
+      ("WITH p AS (SELECT event_id AS p_event_id, epoch_us(ts) AS t_us " +
+        "FROM events WHERE event_type = 'view'), " +
+        "i AS (SELECT event_id AS i_event_id, epoch_us(ts) AS s_us, " +
+        "epoch_us(ts) + 3600000000 AS e_us FROM events WHERE event_type = 'error') " +
+        "SELECT p.p_event_id, i.i_event_id FROM p JOIN i " +
+        "ON p.t_us >= i.s_us AND p.t_us < i.e_us"),
 
     "q33_math_exact" ->
       ("SELECT l_orderkey, l_linenumber, sqrt(l_extendedprice) AS sq, " +

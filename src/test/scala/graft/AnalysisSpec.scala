@@ -836,6 +836,49 @@ class AnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: latest at-or-before per key; equality matches; no predecessor -> null") {
+    import graft.analysis.TimeOps
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (1L, 4L, "c"),
+      (2L, 7L, "d"), (3L, 9L, "e")).toDF("k", "t", "l_tag")
+    val right = Seq((1L, 5L, 100L), (1L, 8L, 101L), (2L, 7L, 102L),
+      (2L, 9L, 103L)).toDF("k", "t", "rv")
+    val got = TimeOps.asofJoin(left, right, "k", "t")
+      .select(col("l_tag"), col("asof.rv"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(got == Map(
+      "a" -> Some(101L), // t=10: latest right at 8
+      "b" -> Some(100L), // t=5: equality matches
+      "c" -> None,       // t=4: nothing at-or-before
+      "d" -> Some(102L), // equality; the later right (t=9) is ignored
+      "e" -> None))      // key with no right rows at all
+    // the plan is ONE hash shuffle on the key + a window — never an
+    // inequality join (BroadcastNestedLoop at scale)
+    val plan = TimeOps.asofJoin(left, right, "k", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("Window"))
+  }
+
+  test("rangeJoinBucketed: containment exact at boundaries; equi-join plan, intervals spanning buckets") {
+    import graft.analysis.TimeOps
+    val pts = Seq((1L, 0L), (2L, 99L), (3L, 100L), (4L, 150L), (5L, 250L),
+      (6L, 349L), (7L, 350L)).toDF("pid", "t")
+    // [100, 350): spans buckets 1..3 at width 100; [0, 100): exactly one
+    val iv = Seq((10L, 100L, 350L), (11L, 0L, 100L)).toDF("iid", "s", "e")
+    val got = TimeOps.rangeJoinBucketed(pts, col("t"), iv, col("s"), col("e"),
+        bucketWidth = 100L)
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    assert(got == Set(1L -> 11L, 2L -> 11L, // start inclusive, end exclusive
+      3L -> 10L, 4L -> 10L, 5L -> 10L, 6L -> 10L)) // 350 excluded
+    // no duplicate pairs (a point matches an interval in ONE bucket)
+    val n = TimeOps.rangeJoinBucketed(pts, col("t"), iv, col("s"), col("e"), 100L)
+      .count()
+    assert(n == got.size.toLong)
+    // equi-join on the bucket id, never a nested-loop inequality join
+    val plan = TimeOps.rangeJoinBucketed(pts, col("t"), iv, col("s"), col("e"), 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+  }
+
   test("redactPii: email/IP/SSN/phone redact; order keeps SSN out of phone's jaws") {
     val got = Seq(
       "mail a.b-c_d@sub.example.co.uk now",
