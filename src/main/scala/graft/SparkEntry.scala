@@ -407,6 +407,20 @@ object SparkEntry {
         .select(col("p_event_id"), col("i_event_id"))
     }),
 
+    "q62_sessionize" -> ((s, d) => {
+      // gap-based sessionization: 30-minute silence splits a user's
+      // events into sessions (deterministic numbering via event_id
+      // tiebreak); session volume stats make the output compact
+      import graft.analysis.TimeOps
+      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+      val sess = TimeOps.sessionize(t(s, d, "events"),
+        col("user_id"), us(col("ts")), col("event_id"),
+        maxGap = 30L * 60L * 1000000L)
+      sess.groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(us(col("ts"))).as("start_us"), max(us(col("ts"))).as("end_us"))
+    }),
+
     // ---- rows-only entries (not SQL-expressible in DuckDB) ---------------
     "q40_sketch_aggs" -> ((s, d) =>
       // HLL / quantile sketches: algorithms (and thus exact outputs)
@@ -844,6 +858,18 @@ object SparkEntry {
 
     "q32_json_extract" ->
       ("SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events"),
+
+    "q62_sessionize" ->
+      ("WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), " +
+        "s AS (SELECT user_id, event_id, t_us, sum(new_sess) OVER (" +
+        "PARTITION BY user_id ORDER BY t_us, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS session_no FROM g) " +
+        "SELECT user_id, session_no, count(*) AS n_events, " +
+        "min(t_us) AS start_us, max(t_us) AS end_us FROM s GROUP BY 1, 2"),
 
     // DuckDB's NATIVE ASOF join checks the union+window re-expression
     "q60_asof_join" ->

@@ -59,6 +59,27 @@ object TimeOps {
       .drop("__side", "__r")
   }
 
+  /** Gap-based sessionization: events of a key belong to one session
+    * until a silence longer than `maxGap` splits them — the classic
+    * event-analytics primitive (q30's lag-gap is its building block).
+    * `session_no` is 1-based per key in time order (ties broken by
+    * `tiebreak`, so the numbering is deterministic). One hash shuffle
+    * on the key + a per-key sort (two window passes over the same
+    * ordering — Spark plans them in a single Window exec chain, no
+    * second exchange); the hot-key caveat of [[asofJoin]] applies.
+    */
+  def sessionize(events: DataFrame, key: Column, time: Column,
+      tiebreak: Column, maxGap: Long): DataFrame = {
+    val base = events.withColumn("__k", key).withColumn("__t", time)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), tiebreak)
+    base
+      .withColumn("__new", when(lag(col("__t"), 1).over(w).isNull ||
+        col("__t") - lag(col("__t"), 1).over(w) > maxGap, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__k", "__t", "__new")
+  }
+
   /** Interval (range) join: every (point, interval) pair with
     * `start <= point < end`, as an EQUI-join — Spark plans a raw
     * inequality join as a broadcast nested loop (quadratic at corpus

@@ -879,6 +879,21 @@ class AnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
   }
 
+  test("sessionize: gap splits sessions; boundary gap stays; numbering deterministic") {
+    import graft.analysis.TimeOps
+    val ev = Seq(
+      (1L, 0L, 1L), (1L, 100L, 2L), (1L, 200L, 3L),   // session 1 (gaps = 100)
+      (1L, 301L, 4L),                                  // gap 101 > 100 -> session 2
+      (1L, 401L, 5L),                                  // exactly 100 -> stays
+      (2L, 50L, 6L),                                   // other key restarts at 1
+      (2L, 50L, 7L)                                    // tie: same session, id order
+    ).toDF("k", "t", "id")
+    val got = TimeOps.sessionize(ev, col("k"), col("t"), col("id"), maxGap = 100L)
+      .select(col("id"), col("session_no")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 1L, 7L -> 1L))
+  }
+
   test("redactPii: email/IP/SSN/phone redact; order keeps SSN out of phone's jaws") {
     val got = Seq(
       "mail a.b-c_d@sub.example.co.uk now",
