@@ -33,12 +33,25 @@ object TimeOps {
     * history exceeds a task.
     *
     * Returns every left row + `asofCol`: a struct of the matched right
-    * row's columns, null when no right row precedes (LEFT semantics).
+    * row's columns (minus the key, which equals the left's; the match
+    * TIME rides in the struct — "when was the last purchase" is half
+    * the point of an as-of join), null when no right row precedes
+    * (LEFT semantics). SQL-null semantics match DuckDB's ASOF: right
+    * rows with a null key or null time can never satisfy
+    * `r.key = l.key AND r.time <= l.time` and are dropped up front
+    * (otherwise NULLS-FIRST ordering would carry a null-time payload
+    * into every row of its key); left rows always survive, null-keyed
+    * or null-timed ones with a null match. Column names: `left` and
+    * `right` may share names (the right side is folded into the
+    * struct); `__side`/`__r` are reserved internals.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       asofCol: String = "asof"): DataFrame = {
-    val rStruct = struct(right.columns.map(col): _*)
-    val r = right.select(col(key), col(time), rStruct.as("__r"))
+    require(!left.columns.contains("__side") && !left.columns.contains("__r"),
+      "asofJoin reserves the __side/__r column names")
+    val rStruct = struct(right.columns.filterNot(_ == key).map(col): _*)
+    val r = right.filter(col(key).isNotNull && col(time).isNotNull)
+      .select(col(key), col(time), rStruct.as("__r"))
     val rType = r.schema("__r").dataType
     val l = left.withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(rType))
@@ -70,6 +83,9 @@ object TimeOps {
     */
   def sessionize(events: DataFrame, key: Column, time: Column,
       tiebreak: Column, maxGap: Long): DataFrame = {
+    val reserved = Seq("__k", "__t", "__new", "session_no")
+    require(!events.columns.exists(reserved.contains),
+      s"sessionize reserves the ${reserved.mkString("/")} column names")
     val base = events.withColumn("__k", key).withColumn("__t", time)
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), tiebreak)
     base
@@ -91,18 +107,27 @@ object TimeOps {
     * near the typical interval length; a point matches each interval
     * in exactly one bucket (its own), so no pair dedup is needed.
     * Times are plain longs (epoch micros in q61); callers convert.
+    * Empty intervals (end <= start) match nothing and are dropped up
+    * front. Column names: a name shared by both inputs survives into
+    * the joined output twice (ambiguous downstream) — rename before
+    * joining, as q61 does; `__b`/`__p`/`__start`/`__end` are reserved.
     */
   def rangeJoinBucketed(points: DataFrame, pTime: Column,
       intervals: DataFrame, iStart: Column, iEnd: Column,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val reserved = Seq("__b", "__p", "__start", "__end")
+    require(!(points.columns ++ intervals.columns).exists(reserved.contains),
+      s"rangeJoinBucketed reserves the ${reserved.mkString("/")} column names")
     val ivals = intervals
       .withColumn("__start", iStart).withColumn("__end", iEnd)
+      .filter(col("__end") > col("__start"))
+      // end is EXCLUSIVE: the top bucket is the one containing end-1
+      // (floor(end/width) would ship a spare replica that the residual
+      // filter always rejects when end lands on a bucket boundary)
       .withColumn("__b", explode_outer(sequence(
         floor(col("__start") / bucketWidth),
-        // end is exclusive, but an interval ending exactly on a bucket
-        // boundary still owns that boundary's bucket start
-        floor(col("__end") / bucketWidth))))
+        floor((col("__end") - 1) / bucketWidth))))
     points.withColumn("__p", pTime)
       .withColumn("__b", floor(col("__p") / bucketWidth))
       .join(ivals, Seq("__b"))

@@ -856,6 +856,18 @@ class AnalysisSpec extends AnyFunSuite {
     val plan = TimeOps.asofJoin(left, right, "k", "t")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("Window"))
+    // SQL-null semantics (DuckDB ASOF): null-keyed/null-timed right
+    // rows never match anything; left rows always survive, with a
+    // null match — a null-time right payload must NOT be carried in
+    // by NULLS-FIRST ordering
+    val leftN = Seq((Some(1L), Some(10L), "a"), (Some(1L), None, "b"),
+      (None, Some(5L), "c")).toDF("k", "t", "l_tag")
+    val rightN = Seq((Some(1L), None, 200L), (None, Some(1L), 201L),
+      (Some(1L), Some(3L), 202L)).toDF("k", "t", "rv")
+    val gotN = TimeOps.asofJoin(leftN, rightN, "k", "t")
+      .select(col("l_tag"), col("asof.rv"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(gotN == Map("a" -> Some(202L), "b" -> None, "c" -> None), s"got $gotN")
   }
 
   test("rangeJoinBucketed: containment exact at boundaries; equi-join plan, intervals spanning buckets") {
@@ -892,6 +904,12 @@ class AnalysisSpec extends AnyFunSuite {
       .select(col("id"), col("session_no")).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
       6L -> 1L, 7L -> 1L))
+    // the documented scale shape: both window passes share ONE key
+    // exchange (a refactor breaking the shared ordering would add one)
+    val plan = TimeOps.sessionize(ev, col("k"), col("t"), col("id"), 100L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"sessionize must plan exactly one Exchange:\n$plan")
   }
 
   test("redactPii: email/IP/SSN/phone redact; order keeps SSN out of phone's jaws") {
