@@ -47,6 +47,39 @@ object StreamingExtract {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** (user_id, ts) stream input for the session-window metrics. */
+  val userEventsSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType)))
+
+  /** EVENT-TIME session windows over a user-event stream — the
+    * streaming twin of `TimeOps.sessionize`, on Spark's native
+    * `session_window` + watermark state: sessions merge while
+    * consecutive events are STRICTLY closer than `gap`, finalize once
+    * the watermark passes their end, and emit (user_id, start, end,
+    * n_events) exactly once (Append mode). Boundary nuance vs the
+    * batch operator: `session_window` SPLITS at an exact-`gap`
+    * spacing where `sessionize(maxGap)` keeps it (> vs >=) — pick the
+    * parameters accordingly when reconciling the two.
+    *
+    * Scale shape: the engine keys session state by (user, window) and
+    * the watermark bounds it — late events beyond `watermarkDelay`
+    * are dropped, finalized windows leave the store; state is
+    * proportional to ACTIVE sessions, not history.
+    */
+  def sessionWindows(spark: SparkSession, inDir: String,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    spark.readStream.schema(userEventsSchema).parquet(inDir)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("n_events"))
+  }
+
   /** Streaming exact dedup with CUSTOM state (`flatMapGroupsWithState`):
     * first-seen-wins per doc_id ACROSS micro-batches — a re-ingested or
     * re-crawled document is emitted exactly once for the life of the

@@ -217,6 +217,47 @@ class StreamingSpec extends AnyFunSuite {
     pairs.foreach(p => assert(p._3 > 1.0 - 1e-12))
   }
 
+  test("streaming session windows: gap merges, watermark finalizes, matches batch sessionize") {
+    val dir = Files.createTempDirectory("graft-ssess").toString
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: three events 10s apart, then a 100s silence -> 2 sessions
+    // at gap 50s (no exact-boundary spacings: strict-vs-inclusive gap
+    // semantics differ between the streaming and batch operators)
+    val b1 = Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(20)), (1L, ts(120)),
+      (2L, ts(5)))
+    b1.toDF("user_id", "ts").write.parquet(s"$dir/in/b1")
+    val q = StreamingExtract.sessionWindows(spark, s"$dir/in/*",
+        gap = "50 seconds", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("graft_ssess_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past every session end (watermark
+      // advances at batch end; emission happens on the NEXT batch)
+      Seq((99L, ts(100000))).toDF("user_id", "ts").write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+      Seq((99L, ts(200000))).toDF("user_id", "ts").write.parquet(s"$dir/in/b3")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_ssess_out")
+      .filter(col("user_id") < 90) // drop the watermark-pusher's sessions
+      .select(col("user_id"), unix_timestamp(col("start")).as("s"),
+        col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 3L), (1L, 120L, 1L), (2L, 5L, 1L)), s"got $got")
+    // cross-check against the batch operator on the same finalized data
+    val batch = graft.analysis.TimeOps.sessionize(
+        b1.toDF("user_id", "ts"), col("user_id"),
+        unix_timestamp(col("ts")), col("ts"), maxGap = 49L)
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(unix_timestamp(col("ts"))).as("s"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("s"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == got, s"streaming $got != batch $batch")
+  }
+
   test("streaming exact-dedup state TTL: idle keys evict, re-ingest re-emits") {
     val dir = Files.createTempDirectory("graft-dttl").toString
     import spark.implicits._
