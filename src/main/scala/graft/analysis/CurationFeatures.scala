@@ -30,11 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `[ \t\n\x0B\f\r]`, NOT Unicode whitespace.
   *  - n_stopwords / s_en / s_fr / s_de / s_es: non-overlapping
   *    leftmost `\b(?:w1|w2|...)\b` matches over lower(text). Java's
-  *    `\b` is ASCII-`\w` based: the boundary test uses `[A-Za-z0-9_]`
-  *    — so `the` DOES match inside `thé` (é is a letter but not an
-  *    ASCII word char; the regex twin behaves identically, and the
-  *    test pins this edge). Alternation is first-match-in-list-order
-  *    at each position, scanning resumes past a match.
+  *    `\b` word test is `_ | Character.isLetterOrDigit` on CODE POINTS
+  *    (the documented \b/\w inconsistency: \w is ASCII, \b is not) —
+  *    so `a` does NOT match inside `aß` (ß is a letter) but DOES
+  *    before `_`-free punctuation; a randomized property test pins
+  *    these edges against the compiled java.util.regex patterns.
+  *    Alternation is first-match-in-list-order at each position,
+  *    scanning resumes past a match.
   *  - n_chars: code-point count of the original (Spark `length`).
   *
   * Null text -> null struct (standard UnaryExpression null handling);
@@ -70,9 +72,40 @@ case class CurationFeatures(child: Expression)
     (TextOps.Stopwords +: TextOps.LangMarkerWords.map(_._2))
       .map(_.toArray).toArray
 
-  private def isAsciiWord(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-      (c >= '0' && c <= '9') || c == '_'
+  /** JDK Pattern.Bound's hasBaseCharacter, verbatim: scanning backward
+    * (char-by-char, as the JDK does) from `start`, skip non-spacing
+    * marks; the run counts as word-attached iff it bottoms out on a
+    * letter-or-digit.
+    */
+  private def hasBase(s: String, start: Int): Boolean = {
+    var x = start
+    while (x >= 0) {
+      val cp = s.codePointAt(x)
+      if (Character.isLetterOrDigit(cp)) return true
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) return false
+      x -= 1
+    }
+    false
+  }
+
+  /** Java regex \b's word predicate (JDK Pattern.Bound without
+    * UNICODE_CHARACTER_CLASS), on full code points: underscore,
+    * Unicode letter-or-digit, OR a non-spacing mark attached to a
+    * word base (so "i" + combining-dot — İ's lowercase — does not
+    * open a boundary mid-grapheme).
+    */
+  private def isWordAt(s: String, idx: Int): Boolean = {
+    val cp = s.codePointAt(idx)
+    cp == '_' || Character.isLetterOrDigit(cp) ||
+      (Character.getType(cp) == Character.NON_SPACING_MARK && hasBase(s, idx))
+  }
+
+  private def isWordBefore(s: String, i: Int): Boolean = {
+    val cp = s.codePointBefore(i)
+    cp == '_' || Character.isLetterOrDigit(cp) ||
+      (Character.getType(cp) == Character.NON_SPACING_MARK &&
+        hasBase(s, i - Character.charCount(cp)))
+  }
 
   /** Non-overlapping leftmost `\b(?:words)\b` count (see class doc). */
   private def countMarkers(s: String, words: Array[String]): Int = {
@@ -81,13 +114,15 @@ case class CurationFeatures(child: Expression)
     var i = 0
     while (i < len) {
       var advanced = false
-      if (i == 0 || !isAsciiWord(s.charAt(i - 1))) {
+      // \b before the (word-char-initial) marker: previous CODE POINT
+      // not a word char — codePointBefore decodes a surrogate pair
+      if (i == 0 || !isWordBefore(s, i)) {
         var w = 0
         while (!advanced && w < words.length) {
           val word = words(w)
           val j = i + word.length
           if (j <= len && s.regionMatches(i, word, 0, word.length) &&
-              (j == len || !isAsciiWord(s.charAt(j)))) {
+              (j == len || !isWordAt(s, j))) {
             count += 1
             i = j
             advanced = true

@@ -103,17 +103,19 @@ class AnalysisSpec extends AnyFunSuite {
 
   test("fused CurationFeatures == regex chain (corpus + adversarial edges)") {
     import graft.analysis.CurationFeatures
-    // adversarial inputs for the exact-Java-regex semantics: ASCII-\b
-    // boundaries (\bthe\b DOES match inside 'thé' — é is a letter but
-    // not an ASCII word char), apostrophe tokens, digit runs, unicode
-    // whitespace (NBSP is NOT Java \s, so it counts as punct), empty
-    // and markup-ish strings, list-order alternation (le vs les)
+    // adversarial inputs for the exact-Java-regex semantics: \b's
+    // word test is _|isLetterOrDigit on code points (NOT ASCII \w —
+    // 'a' does not match inside 'aß', 'the' not inside 'theé'),
+    // apostrophe tokens, digit runs, unicode whitespace (NBSP is NOT
+    // Java \s, so it counts as punct), empty and markup-ish strings,
+    // list-order alternation (le vs les)
     val edge = Seq(
       "", " ", "the", "thé", "xthé the_x the-x the", "l'été c'est",
       "a1'2b  3", "le les des le", "was is\tand\nof",
       "ist das der die und", "¡es una! ¿los las es?",
       "the the the", "it it of of a a", "#@| ~^_ 123",
-      "ThE AnD oF iS wAs", "x_the_x the")
+      "ThE AnD oF iS wAs", "x_the_x the",
+      "aß a ßa theé éthe the带 带the", "is' 'is ß_the_ß the")
     val corpus = documents.select(col("text")).as[String].collect().toSeq
     val all = (edge ++ corpus).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = all.toDF("id", "text")

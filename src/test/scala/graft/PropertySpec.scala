@@ -137,6 +137,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CurationFeatures == Java regexes on random unicode-ish strings") {
+    // independent driver-side reference: the actual java.util.regex
+    // patterns the HOF chain compiles, run on the same strings — any
+    // divergence in the fused walks' \p{L}/\s/\b emulation fails here
+    import java.util.regex.Pattern
+    val tokRe = Pattern.compile("[\\p{L}0-9']+")
+    val punctRe = Pattern.compile("[^\\p{L}0-9\\s]")
+    val markerRes = (graft.analysis.TextOps.LangMarkers.map(_._2) :+
+      Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        .mkString("\\b(?:", "|", ")\\b")).map(Pattern.compile)
+    def count(p: Pattern, s: String): Int = {
+      val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
+    }
+    val alphabet = "ab1 '9_é ß-ıİ\t\n&;le the%#带 ".toCharArray
+    val rnd = new scala.util.Random(31337)
+    val cases = (0 until 2000).map { _ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    } ++ Seq("", "the", "théle les", "ß the ß", "İ is İ")
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), graft.analysis.CurationFeatures.of(col("text")).as("cf"))
+      .select(col("id"), col("cf.n_tokens"), col("cf.n_punct"),
+        col("cf.s_en"), col("cf.s_fr"), col("cf.s_de"), col("cf.s_es"),
+        col("cf.n_stopwords"))
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect().sortBy(_._1)
+    got.foreach { case (i, nt, np, en, fr, de, es, stop) =>
+      val t = cases(i.toInt)
+      val lower = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        .toLowerCase.toString
+      assert(nt == count(tokRe, lower), s"n_tokens on <$t>")
+      assert(np == count(punctRe, t), s"n_punct on <$t>")
+      val ms = markerRes.map(count(_, lower))
+      assert((en, fr, de, es, stop) == ((ms(0), ms(1), ms(2), ms(3), ms(4))),
+        s"marker counts on <$t>: got ${(en, fr, de, es, stop)} want $ms")
+    }
+  }
+
   test("doc set permutation / duplication-of-partitioning invariance") {
     val docs = graft.corpus.Corpus.generate(spark, 64)
     def run(d: org.apache.spark.sql.Dataset[graft.schema.DocRow]) =
