@@ -278,6 +278,23 @@ def main(sf_dir):
                  for i, t in q58.items()
                  if len(shingle_hashes(t, n=8) & bench) >= 1))
 
+    # q63: deterministic 90/5/5 hash split — bucket = pmod(xxhash64(id),
+    # 1e6) (Python % on the signed hash == Spark pmod: non-negative);
+    # thresholds = round(cum_fraction * 1e6)
+    buckets = 1000000
+    ths = [(round(0.9 * buckets), "train"),
+           (round(0.95 * buckets), "val"),
+           (buckets, "test")]
+
+    def split_of(i):
+        b = to_signed(hash_long(i, 42)) % buckets
+        for th, name in ths:
+            if b < th:
+                return name
+        return ths[-1][1]
+    write(con, "expected_split", "doc_id BIGINT, split VARCHAR",
+          sorted((i, split_of(i)) for i in base))
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")

@@ -407,6 +407,13 @@ object SparkEntry {
         .select(col("p_event_id"), col("i_event_id"))
     }),
 
+    "q63_hash_split" -> ((s, d) =>
+      // deterministic 90/5/5 split on xxhash64(doc_id) — stable across
+      // runs/partitionings; hash-checked vs the Python XXH64 mirror
+      TextOps.splitByHash(t(s, d, "documents"), col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))),
+
     "q62_sessionize" -> ((s, d) => {
       // gap-based sessionization: 30-minute silence splits a user's
       // events into sessions (deterministic numbering via event_id
@@ -1024,6 +1031,10 @@ object SparkEntry {
     // among the random vectors), and identical vectors collide in every
     // LSH bucket, so the expected set is exactly the plant
     "q46_cosine_dedup" ->
-      "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings"
+      "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
+
+    "q63_hash_split" ->
+      ("SELECT doc_id, split " +
+        "FROM read_parquet('/root/repo/fixtures/expected_split.parquet')")
   )
 }

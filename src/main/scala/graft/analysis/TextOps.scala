@@ -546,6 +546,35 @@ object TextOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  // ---- deterministic dataset splitting ---------------------------------
+  /** Deterministic hash split — train/validation/test assignment that
+    * is stable across runs, clusters, and re-partitionings (unlike
+    * `randomSplit`, whose assignment depends on partition layout):
+    * `split = name_i` where `pmod(xxhash64(key), 1e6)` falls in the
+    * i-th cumulative-fraction band. Map-only; adding new rows never
+    * reassigns existing ones. Pass the DOCUMENT id as `key` for a
+    * plain split, or a GROUP key (source/domain, cluster keeper) to
+    * keep whole groups in one band — the standard guard against
+    * near-duplicate leakage across train and eval; fractions are then
+    * over groups, not rows. Same pure-xxhash64 contract as every
+    * hash-keyed operator here (Python-mirror oracle, q63).
+    */
+  def splitByHash(docs: DataFrame, key: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1, got $fractions")
+    val buckets = 1000000L
+    val thresholds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * buckets))
+    val bucket = pmod(xxhash64(key), lit(buckets))
+    val assign = fractions.map(_._1).zip(thresholds).init
+      .foldRight(lit(fractions.last._1): Column) { case ((name, th), acc) =>
+        when(bucket < th, name).otherwise(acc)
+      }
+    docs.withColumn("split", assign)
+  }
+
   // ---- benchmark decontamination --------------------------------------
   /** Benchmark contamination check — the decontamination pass every
     * serious pre-training pipeline runs before a corpus ships: flag

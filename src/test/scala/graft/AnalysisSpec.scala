@@ -893,6 +893,34 @@ class AnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
   }
 
+  test("splitByHash: deterministic, partition-invariant, group-stratified") {
+    val docs = spark.range(20000).select(col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(40))).as("source"))
+    val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    def splits(parts: Int) =
+      TextOps.splitByHash(docs.repartition(parts), col("doc_id"), fracs)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // the assignment is a pure function of the key: identical across
+    // partition layouts (randomSplit is NOT)
+    val a = splits(2)
+    assert(a == splits(17))
+    // fractions land near target (hash uniformity; 20k rows)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 18000) < 400, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 1000) < 150 &&
+      math.abs(counts("test") - 1000) < 150, s"got $counts")
+    // group-stratified: splitting on the SOURCE key keeps every source
+    // whole (no domain straddles train and eval — the leakage guard)
+    val bySource = TextOps.splitByHash(docs, col("source"), fracs)
+      .groupBy("source").agg(countDistinct(col("split")).as("n"))
+      .agg(max("n")).as[Long].head()
+    assert(bySource == 1L)
+    // invalid fractions rejected
+    intercept[IllegalArgumentException] {
+      TextOps.splitByHash(docs, col("doc_id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("sessionize: gap splits sessions; boundary gap stays; numbering deterministic") {
     import graft.analysis.TimeOps
     val ev = Seq(
