@@ -61,6 +61,39 @@ def check_tolerance(name, spec, got_cols, got_rows, con):
     return True
 
 
+# Result-TYPE identity (the r5 driver-gate defect): DuckDB promotes
+# integer sum() to HUGEINT (Arrow decimal128) while Spark emits LONG —
+# values compare equal under repr() but the driver's hash sees the
+# serialized type. Compare TYPE FAMILIES per column: integer widths are
+# canonicalized (the driver demonstrably tolerates int32-vs-int64 —
+# q19 has always hash-passed) but decimal/int, float/int, str/int
+# divergence fails. An oracle needing an exception has a bug — CAST it.
+_INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def type_family(t):
+    t = str(t).upper()
+    if t.endswith("[]"):
+        return "list<" + type_family(t[:-2]) + ">"
+    if t in _INT_TYPES:
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t
+
+
+def dtype_mismatches(got_cols, got_types, want_cols, want_types):
+    got = dict(zip(got_cols, [type_family(t) for t in got_types]))
+    want = dict(zip(want_cols, [type_family(t) for t in want_types]))
+    return [(c, got[c], want[c]) for c in sorted(set(got) & set(want))
+            if got[c] != want[c]]
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -91,8 +124,9 @@ def main(sf_dir, out_dir):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
-        got_rel = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
-        got_cols = [c[0] for c in got_rel.description]
+        got_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        got_cols = list(got_rel.columns)
+        got_types = list(got_rel.types)
         got_rows = got_rel.fetchall()
         if name in TOLERANCE_ORACLES:
             if check_tolerance(name, TOLERANCE_ORACLES[name],
@@ -105,13 +139,19 @@ def main(sf_dir, out_dir):
             print(f"  [rows-only] {name}: {len(got_rows)} rows "
                   f"({'OK' if got_rows else 'EMPTY!'})")
             continue
-        want_rel = con.execute(oracles[name])
-        want_cols = [c[0] for c in want_rel.description]
+        want_rel = con.sql(oracles[name])
+        want_cols = list(want_rel.columns)
+        want_types = list(want_rel.types)
         want_rows = want_rel.fetchall()
         _, g = canon(got_rows, got_cols)
         _, w = canon(want_rows, want_cols)
+        bad_types = dtype_mismatches(got_cols, got_types, want_cols, want_types)
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
+            n_bad += 1
+        elif bad_types:
+            print(f"FAIL {name}: dtype families differ (col, spark, oracle): "
+                  f"{bad_types}")
             n_bad += 1
         elif g != w:
             n_bad += 1

@@ -227,7 +227,9 @@ object SparkEntry {
       val dirty = concat(col("text"),
         lit(" contact u"), col("doc_id"), lit("@mail.example.org or "),
         lit("+1 (555) 123-4567 host 10.42.7."), pmod(col("doc_id"), lit(250)),
-        lit(" ssn 123-45-6789 end"))
+        lit(" ssn 123-45-6789 v6 2001:db8:85a3:1:2:8a2e:370:"),
+        pmod(col("doc_id"), lit(9999)),
+        lit(" card 4111 1111 1111 1111 end"))
       val url = concat(lit("https://user:pw@WWW."), col("source"),
         lit(".Example.com/p/"), col("doc_id"))
       t(s, d, "documents").select(col("doc_id"),
@@ -763,12 +765,16 @@ object SparkEntry {
         "SELECT l.doc_id, l.line_no, l.line FROM lines l " +
         "JOIN freq f USING (line) WHERE f.n_docs < 100"),
 
+    // integer sums CAST to BIGINT: DuckDB promotes integer sum() to
+    // HUGEINT (Arrow decimal128), which is value-equal but not
+    // TYPE-identical to Spark's LONG — the driver's hash compares
+    // serialized values, so the cast is load-bearing (r5 verdict)
     "q59_corpus_stats" ->
       ("SELECT source, count(*) AS n_docs, " +
-        "sum(n_tokens) AS total_tokens, min(n_tokens) AS min_tokens, " +
-        "max(n_tokens) AS max_tokens, sum(n_chars) AS total_chars, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, min(n_tokens) AS min_tokens, " +
+        "max(n_tokens) AS max_tokens, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
         "count(DISTINCT lang) AS n_langs, " +
-        "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en FROM (" +
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en FROM (" +
         "SELECT source, " +
         "len(regexp_extract_all(lower(text), '[\\p{L}0-9'']+')) AS n_tokens, " +
         "length(text) AS n_chars, CASE " +
@@ -788,7 +794,9 @@ object SparkEntry {
     "q56_redact_pii" -> {
       val dirty = "text || ' contact u' || CAST(doc_id AS varchar) || " +
         "'@mail.example.org or ' || '+1 (555) 123-4567 host 10.42.7.' || " +
-        "CAST(doc_id % 250 AS varchar) || ' ssn 123-45-6789 end'"
+        "CAST(doc_id % 250 AS varchar) || " +
+        "' ssn 123-45-6789 v6 2001:db8:85a3:1:2:8a2e:370:' || " +
+        "CAST(doc_id % 9999 AS varchar) || ' card 4111 1111 1111 1111 end'"
       val clean = TextOps.PiiRedactions.foldLeft(dirty) { case (e, (re, tag)) =>
         s"regexp_replace($e, '${re.replace("'", "''")}', '$tag', 'g')"
       }
@@ -872,9 +880,11 @@ object SparkEntry {
         "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
         "THEN 1 ELSE 0 END AS new_sess FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), " +
-        "s AS (SELECT user_id, event_id, t_us, sum(new_sess) OVER (" +
+        // CAST: DuckDB's windowed integer sum is HUGEINT, Spark's is
+        // LONG — type-identity for the driver's hash (r5 verdict)
+        "s AS (SELECT user_id, event_id, t_us, CAST(sum(new_sess) OVER (" +
         "PARTITION BY user_id ORDER BY t_us, event_id " +
-        "ROWS UNBOUNDED PRECEDING) AS session_no FROM g) " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM g) " +
         "SELECT user_id, session_no, count(*) AS n_events, " +
         "min(t_us) AS start_us, max(t_us) AS end_us FROM s GROUP BY 1, 2"),
 

@@ -30,10 +30,10 @@ import org.apache.spark.sql.types._
   * is what lets [[TextOps.sourceQuota]] promise a mega-source never
   * concentrates on one task.
   *
-  * Rows with a null quality or null id are skipped (keeper candidates
-  * must be rankable; the SQL-oracle equivalent is a NOT NULL quality
-  * key). Quality must not be NaN (Double.compare would rank NaN above
-  * everything; engines disagree on NaN ordering), and an integral
+  * Rows with a null OR NaN quality, or a null id, are skipped (keeper
+  * candidates must be rankable; the SQL-oracle equivalent is a NOT
+  * NULL, non-NaN quality key — engines disagree on NaN ordering, and a
+  * NaN inside the heap would break the comparison contract). An integral
   * quality key wider than 2^53 loses low bits in the double coercion —
   * pre-scale such keys (a genuine quality score never needs 53 bits).
   *
@@ -75,7 +75,11 @@ case class BoundedTopKAgg(
   override def update(buf: BoundedTopKAgg.Heap, input: InternalRow): BoundedTopKAgg.Heap = {
     val q = quality.eval(input)
     val i = id.eval(input)
-    if (q != null && i != null) {
+    // NaN quality is skipped like null (not merely documented-disallowed):
+    // a NaN makes every worse() comparison false, silently corrupting the
+    // heap invariant, and rankedIds' sortWith could then throw
+    // "Comparison method violates its general contract" at eval time
+    if (q != null && i != null && !q.asInstanceOf[Double].isNaN) {
       buf.offer(q.asInstanceOf[Double], i.asInstanceOf[Long])
     }
     buf

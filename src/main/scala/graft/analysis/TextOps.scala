@@ -296,20 +296,31 @@ object TextOps {
         "\n").as("text"))
 
   // ---- PII redaction / URL parsing (pre-training hygiene) -----------------
-  /** PII redaction patterns, ORDERED (more specific first: SSN before
-    * the generic phone pattern, email before anything that could eat
-    * its digits). A fixed documented set — emails, IPv4 addresses,
-    * US-SSN-shaped ids, and phone-shaped digit runs — in the
+  /** PII redaction patterns, ORDERED (more specific first: SSN and
+    * credit-card shapes before the generic phone pattern, email before
+    * anything that could eat its digits). A fixed documented set —
+    * emails, IPv6 then IPv4 addresses, US-SSN-shaped ids, credit-card-
+    * shaped digit groups, and phone-shaped digit runs — in the
     * RE2-compatible subset (no lookaround/backreferences), so the q56
     * oracle runs the SAME chain in DuckDB; the SQL is GENERATED from
     * this list, one source of truth. Anything outside the set survives
     * (redaction here is a hygiene pass, not a compliance guarantee —
     * state-of-the-art PII needs NER, which is a model, not a regex).
+    * Documented edges: the IPv6 shape is "4+ colon-separated hex
+    * groups" — it catches full and most partially-shortened addresses
+    * (and MAC-ish hex runs, acceptable over-redaction) but not
+    * `::`-compressed forms, and a digits-only run with 3+ colons
+    * (a pathological timestamp list) is over-redacted; the credit-card
+    * shape is 4x4 digit groups (space/dash separated) or a bare
+    * 16-digit run, no Luhn check (a regex pass redacts shapes, it
+    * cannot validate).
     */
   val PiiRedactions: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\\b" -> "<IPV6>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
     "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b(?:\\d{4}[ -]){3}\\d{4}\\b|\\b\\d{16}\\b" -> "<CC>",
     "(?:\\+\\d{1,3}[ .-]?)?(?:\\(\\d{2,4}\\)[ .-]?)?\\d{3,4}[ .-]\\d{3,4}(?:[ .-]\\d{3,4})?\\b" -> "<PHONE>")
 
   /** Redact the documented PII pattern set (map-only projection). Both
@@ -639,6 +650,11 @@ object TextOps {
     */
   def sourceQuota(docs: DataFrame, id: Column, source: Column,
       quality: Column, maxPerSource: Int): DataFrame = {
+    // fail fast instead of silently overwriting a caller's column with
+    // withColumn (the TimeOps reserved-name guard pattern)
+    val reserved = Seq("__sq_id", "__sq_src", "__sq_keep", "__sq_keep_id")
+    require(!docs.columns.exists(reserved.contains),
+      s"sourceQuota reserves the ${reserved.mkString("/")} column names")
     val keyed = docs.withColumn("__sq_id", id)
     val keeperIds = keyed
       .groupBy(source.as("__sq_src"))
@@ -664,8 +680,11 @@ object TextOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
-        min("n_tokens").as("min_tokens"),
-        max("n_tokens").as("max_tokens"),
+        // long, not int: the q59 oracle's DuckDB min/max(len(...)) are
+        // BIGINT — align the width so the driver's type-level hash
+        // matches (values were always equal; r5 verdict)
+        min("n_tokens").cast("long").as("min_tokens"),
+        max("n_tokens").cast("long").as("max_tokens"),
         sum("n_chars").as("total_chars"),
         countDistinct(col("lang")).as("n_langs"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))

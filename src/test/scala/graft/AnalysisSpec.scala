@@ -956,6 +956,27 @@ class AnalysisSpec extends AnyFunSuite {
       "no pii here at all"), s"got $got")
   }
 
+  test("redactPii: IPv6 and credit-card shapes; order keeps CC out of phone's jaws") {
+    val got = Seq(
+      // full IPv6, shortened-but-uncompressed IPv6, and the documented
+      // ::-compressed miss (survives literally)
+      "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 end",
+      "short fe80:1:2:3:4 but compressed ::1 survives",
+      // spaced, dashed, and solid credit-card shapes; 15 digits is not
+      // a CC shape (degrades to the phone rule's grouping)
+      "card 4111 1111 1111 1111 or 4111-1111-1111-1111 or 4111111111111111",
+      "amex-shaped 411111111111111 stays un-CC'd",
+      // the phone next to a card: CC redacts first, phone still caught
+      "pay 5500 0000 0000 0004 call (555) 123-4567"
+    ).toDF("t").select(TextOps.redactPii(col("t"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "v6 <IPV6> end",
+      "short <IPV6> but compressed ::1 survives",
+      "card <CC> or <CC> or <CC>",
+      "amex-shaped 411111111111111 stays un-CC'd",
+      "pay <CC> call <PHONE>"), s"got $got")
+  }
+
   test("urlHost: scheme/userinfo/port/path drop, www strips, host lowercases") {
     val got = Seq(
       "https://user:pw@WWW.Example.COM:8443/a/b?q=1#f",
@@ -1028,6 +1049,17 @@ class AnalysisSpec extends AnyFunSuite {
       (3L, null, Some(1L)), (4L, null, Some(2L))).toDF("doc_id", "source", "q")
     assert(TextOps.sourceQuota(withNull, col("doc_id"), col("source"), col("q"), 1)
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // NaN quality is skipped like null (enforced, not just documented:
+    // a NaN inside the heap would corrupt every worse() comparison)
+    val withNaN = Seq((1L, "a", 1.0), (2L, "a", Double.NaN), (3L, "a", 3.0))
+      .toDF("doc_id", "source", "q")
+    assert(TextOps.sourceQuota(withNaN, col("doc_id"), col("source"), col("q"), 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // reserved internal names fail fast instead of silently overwriting
+    val clash = Seq((1L, "a", 1L)).toDF("__sq_id", "source", "q")
+    assertThrows[IllegalArgumentException] {
+      TextOps.sourceQuota(clash, col("__sq_id"), col("source"), col("q"), 1)
+    }
   }
 
   test("sourceQuota is bounded partial-agg: a 100k-page mega-source never meets one reducer") {
