@@ -28,9 +28,12 @@ object TimeOps {
     * struct wins — pass a deterministically-unique (key, time) right
     * side, e.g. pre-aggregated as q60 does, when that tiebreak
     * matters.) A pathologically hot key concentrates its sort on one
-    * task — the standard window caveat; time-bucket the key (compose
-    * with [[rangeJoinBucketed]]'s bucketing idea) if a single key's
-    * history exceeds a task.
+    * task — the standard window caveat. The house remedy ships with
+    * this file: run [[hotKeys]] as the pre-flight audit (the
+    * [[Buckets.hotBuckets]] no-silent-caps rule applied to window
+    * keys), and when it flags keys, switch to [[asofJoinBucketed]] —
+    * the row-identical two-phase form whose per-task partition is
+    * (key, time-bucket), never the whole key.
     *
     * Returns every left row + `asofCol`: a struct of the matched right
     * row's columns (minus the key, which equals the left's; the match
@@ -79,7 +82,10 @@ object TimeOps {
     * `tiebreak`, so the numbering is deterministic). One hash shuffle
     * on the key + a per-key sort (two window passes over the same
     * ordering — Spark plans them in a single Window exec chain, no
-    * second exchange); the hot-key caveat of [[asofJoin]] applies.
+    * second exchange); the hot-key caveat of [[asofJoin]] applies —
+    * audit with [[hotKeys]], and switch flagged workloads to
+    * [[sessionizeBucketed]] (row-identical, (key, time-bucket)
+    * partitions).
     */
   def sessionize(events: DataFrame, key: Column, time: Column,
       tiebreak: Column, maxGap: Long): DataFrame = {
@@ -133,5 +139,191 @@ object TimeOps {
       .join(ivals, Seq("__b"))
       .filter(col("__p") >= col("__start") && col("__p") < col("__end"))
       .drop("__b", "__p", "__start", "__end")
+  }
+
+  /** Per-key row-volume audit for the window operators ([[asofJoin]] /
+    * [[sessionize]]) — the [[Buckets.hotBuckets]] no-silent-caps rule
+    * applied to window partition keys: one row per key whose event
+    * count exceeds `maxPerKey` (the volume a single task can sort
+    * comfortably), with the bucket count a time-bucketed re-plan would
+    * spread it over. Map-side partial count on the key, so the audit
+    * itself never concentrates; run and log it wherever one
+    * pathological user/device/key could pin a task, and switch flagged
+    * workloads to the `*Bucketed` forms.
+    */
+  def hotKeys(events: DataFrame, key: Column, time: Column,
+      maxPerKey: Long, bucketWidth: Long): DataFrame = {
+    require(maxPerKey > 0 && bucketWidth > 0,
+      s"maxPerKey/bucketWidth must be positive ($maxPerKey/$bucketWidth)")
+    events.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(floor(time / bucketWidth)).as("n_buckets"),
+        max(time).as("t_max"), min(time).as("t_min"))
+      .filter(col("n") > maxPerKey)
+      .select(col("key"), col("n"), col("n_buckets"), col("t_min"), col("t_max"))
+  }
+
+  /** [[asofJoin]] with the per-key window split across fixed-width
+    * TIME BUCKETS — the hot-key-proof form, row-identical to
+    * [[asofJoin]] (a test pins frame equality). Three phases, all
+    * keyed by (key, bucket) or the compact per-(key, bucket) summary:
+    *
+    *  1. the latest right row PER (key, bucket) — one partial-agg
+    *     shuffle (`max(struct(time, payload))` is exactly the window's
+    *     carry rule: latest time, greatest payload on ties);
+    *  2. carry-in per active (key, bucket): a window over the COMPACT
+    *     bucket table (one row per key x active bucket — a 10^9-event
+    *     key with 10^4 active buckets costs a 10^4-row sort, not a
+    *     10^9-row one) takes the latest summary from any EARLIER
+    *     bucket;
+    *  3. the [[asofJoin]] union + last-non-null window, but
+    *     partitioned by (key, bucket) with the carry-in injected as a
+    *     synthetic pre-sorted right row (`__side = -1`: an earlier
+    *     bucket's time is strictly smaller, the side only documents
+    *     intent).
+    *
+    * Worst-case per task: one bucket of one key — pick `bucketWidth`
+    * so the hottest key emits ≤ ~10^6 events per bucket ([[hotKeys]]
+    * reports exactly this). Cost over the plain form: one extra
+    * partial-agg shuffle and the compact window. Same null semantics
+    * as [[asofJoin]] (null-keyed/timed right rows dropped up front;
+    * null-keyed/timed left rows survive with a null match — a null
+    * time lands in the null bucket, which sorts first and can have no
+    * carry-in). `__side`/`__r`/`__b`/`__last` are reserved.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      time: String, asofCol: String = "asof",
+      bucketWidth: Long = 86400L * 1000000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val reserved = Seq("__side", "__r", "__b", "__last")
+    require(!left.columns.exists(reserved.contains),
+      s"asofJoinBucketed reserves the ${reserved.mkString("/")} column names")
+    val rStruct = struct(right.columns.filterNot(_ == key).map(col): _*)
+    val r = right.filter(col(key).isNotNull && col(time).isNotNull)
+      .select(col(key), col(time), rStruct.as("__r"))
+      .withColumn("__b", floor(col(time) / bucketWidth))
+    val rType = r.schema("__r").dataType
+    // 1. bucket-local latest right summary (the carry candidate)
+    val bucketLast = r.groupBy(col(key), col("__b"))
+      .agg(max(struct(col(time), col("__r"))).as("__last"))
+    // 2. carry-in per ACTIVE (key, bucket) — active = has left or right
+    // rows; the window runs over this compact summary table only
+    val lb = left.filter(col(key).isNotNull)
+      .select(col(key), floor(col(time) / bucketWidth).as("__b"))
+    val active = lb.distinct()
+      .unionByName(bucketLast.select(col(key), col("__b"))).distinct()
+    val wc = Window.partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = active.join(bucketLast, Seq(key, "__b"), "left")
+      .withColumn("__last", last(col("__last"), ignoreNulls = true).over(wc))
+      .filter(col("__last").isNotNull)
+    // 3. per-(key, bucket) union window: carry-in + in-bucket right +
+    // left, ordered like asofJoin (carry time is strictly earlier than
+    // every in-bucket time, so __side = -1 is documentation, not a tie
+    // rule)
+    val l = left.withColumn("__b", floor(col(time) / bucketWidth))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rType))
+    def shape(df: DataFrame): DataFrame = df.select(l.columns.map {
+      case c if c == key || c == time || c == "__b" || c == "__side" || c == "__r" => col(c)
+      case c => lit(null).cast(left.schema(c).dataType).as(c)
+    }: _*)
+    val u = shape(r.withColumn("__side", lit(0)))
+      .unionByName(shape(carry.select(col(key), col("__b"),
+        col("__last")(time).as(time), lit(-1).as("__side"),
+        col("__last")("__r").as("__r"))))
+      .unionByName(l)
+    val w = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col(time), col("__side"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(asofCol, last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__r", "__b")
+  }
+
+  /** [[sessionize]] with the per-key sort split across fixed-width
+    * TIME BUCKETS — row-identical to [[sessionize]] (a test pins frame
+    * equality) with no task ever holding more than one key-bucket:
+    *
+    *  1. per-event LOCAL break flags inside (key, bucket) windows (a
+    *     bucket's first event is deferred to phase 2 — its previous
+    *     event lives in an earlier bucket);
+    *  2. a COMPACT per-(key, bucket) table (first/last event time,
+    *     local break count) walked by a per-key window: whether each
+    *     bucket's first event opens a session (gap from the previous
+    *     ACTIVE bucket's last event — empty buckets between active
+    *     ones contribute silence, not rows) and the session count
+    *     carried in from all earlier buckets;
+    *  3. session_no = carried-in count + running local breaks —
+    *     identical to the single-window numbering.
+    *
+    * Same hot-key arithmetic as [[asofJoinBucketed]]; `maxGap` and
+    * `bucketWidth` are independent (a session may span many buckets).
+    * Reserves `__k`/`__t`/`__b`/`__new`/`__first`/`__base`/
+    * `session_no`.
+    */
+  def sessionizeBucketed(events: DataFrame, key: Column, time: Column,
+      tiebreak: Column, maxGap: Long,
+      bucketWidth: Long = 86400L * 1000000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val reserved = Seq("__k", "__t", "__b", "__new", "__first", "__base",
+      "__rn", "__lt", "__wk", "__wb", "session_no")
+    require(!events.columns.exists(reserved.contains),
+      s"sessionizeBucketed reserves the ${reserved.mkString("/")} column names")
+    val base = events.withColumn("__k", key).withColumn("__t", time)
+      .withColumn("__b", floor(col("__t") / bucketWidth))
+    val wb = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), tiebreak)
+    // 1. local breaks — only the bucket's FIRST event (row_number 1) is
+    // deferred to the compact walk; any later row mirrors the plain
+    // form's rule exactly, including the null-TIME edge (a null lag
+    // VALUE opens a session in [[sessionize]], distinct from "no
+    // previous row" — row_number is what tells them apart)
+    val local = base
+      .withColumn("__rn", row_number().over(wb))
+      .withColumn("__lt", lag(col("__t"), 1).over(wb))
+      .withColumn("__new",
+        when(col("__rn") > 1 &&
+          (col("__lt").isNull || col("__t") - col("__lt") > maxGap), 1L)
+          .otherwise(0L))
+      .drop("__rn", "__lt")
+    // 2. compact per-(key, bucket) walk
+    val stats = base.groupBy(col("__k"), col("__b"))
+      .agg(min(col("__t")).as("__t_min"), max(col("__t")).as("__t_max"))
+    val localBreaks = local.groupBy(col("__k"), col("__b"))
+      .agg(sum(col("__new")).as("__n_local"))
+    val wk = Window.partitionBy(col("__k")).orderBy(col("__b"))
+    // null-safe joins (the null key / null time bucket is a real group),
+    // via renamed join keys — both sides derive from `base`, so joining
+    // on same-named columns would be an ambiguous self-join
+    val breaksR = localBreaks.select(col("__k").as("__bk"),
+      col("__b").as("__bb"), col("__n_local"))
+    val walked = stats.join(breaksR,
+        col("__k") <=> col("__bk") && col("__b") <=> col("__bb"))
+      .drop("__bk", "__bb")
+      .withColumn("__prev_last", lag(col("__t_max"), 1).over(wk))
+      .withColumn("__first",
+        when(col("__prev_last").isNull ||
+          col("__t_min") - col("__prev_last") > maxGap, 1L).otherwise(0L))
+      // sessions opened before this bucket's first event
+      .withColumn("__base",
+        coalesce(sum(col("__first") + col("__n_local"))
+          .over(wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__k"), col("__b"), col("__first"), col("__base"))
+    // 3. final numbering: base + first-event flag + running local breaks
+    // AFTER the first event (the first event's own __new is 0 by
+    // construction, so the running sum over all rows is exact).
+    // Null-SAFE join: a null key (one partition in the plain form) or
+    // the null time bucket must survive — an equi-join would drop them
+    val walkedR = walked.select(col("__k").as("__wk"), col("__b").as("__wb"),
+      col("__first"), col("__base"))
+    val joined = local.join(walkedR,
+      col("__k") <=> col("__wk") && col("__b") <=> col("__wb"))
+      .drop("__wk", "__wb")
+    joined
+      .withColumn("session_no", col("__base") + col("__first") +
+        sum(col("__new")).over(wb.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("__k", "__t", "__b", "__new", "__first", "__base")
   }
 }

@@ -942,6 +942,85 @@ class AnalysisSpec extends AnyFunSuite {
       s"sessionize must plan exactly one Exchange:\n$plan")
   }
 
+  test("hotKeys: flags only over-volume window keys, with bucket spread") {
+    import graft.analysis.TimeOps
+    val ev = spark.range(10000).select(
+      when(col("id") < 9000, lit("whale")).otherwise(lit("minnow")).as("k"),
+      (col("id") * 10L).as("t"))
+    val hot = TimeOps.hotKeys(ev, col("k"), col("t"),
+        maxPerKey = 5000L, bucketWidth = 1000L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(hot.map(_._1) == Seq("whale"), s"got $hot")
+    val (_, n, nBuckets, tMin, tMax) = hot.head
+    assert(n == 9000L && tMin == 0L && tMax == 89990L)
+    // 9000 events at t = 0..89990 step 10 cover buckets 0..89
+    assert(nBuckets == 90L, s"buckets $nBuckets")
+    // the audit itself is partial-agg keyed, never a window
+    val plan = TimeOps.hotKeys(ev, col("k"), col("t"), 5000L, 1000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"audit must not plan a Window:\n$plan")
+  }
+
+  test("asofJoinBucketed == asofJoin: crafted nulls, random volume, cross-bucket carry") {
+    import graft.analysis.TimeOps
+    // crafted: the plain test's cases incl. SQL-null semantics
+    val leftN = Seq((Some(1L), Some(10L), "a"), (Some(1L), None, "b"),
+      (None, Some(5L), "c")).toDF("k", "t", "l_tag")
+    val rightN = Seq((Some(1L), None, 200L), (None, Some(1L), 201L),
+      (Some(1L), Some(3L), 202L)).toDF("k", "t", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(TimeOps.asofJoinBucketed(leftN, rightN, "k", "t", bucketWidth = 4L))
+      == rows(TimeOps.asofJoin(leftN, rightN, "k", "t")))
+    // random volume: 7 keys, hashed times, buckets much smaller than the
+    // time range so carries must cross MANY empty and active buckets;
+    // duplicate (key, time) right rows exercise the greatest-payload tie
+    val ev = spark.range(4000).select(pmod(col("id"), lit(7)).as("k"),
+      pmod(xxhash64(col("id")), lit(10000)).as("t"), col("id"))
+    val left = ev.filter(col("id") % 3 === 0).select(col("k"), col("t"),
+      col("id").as("lid"))
+    val right = ev.filter(col("id") % 3 =!= 0).select(col("k"), col("t"),
+      col("id").as("rid"))
+    val plain = TimeOps.asofJoin(left, right, "k", "t")
+    val bucketed = TimeOps.asofJoinBucketed(left, right, "k", "t",
+      bucketWidth = 250L)
+    assert(rows(bucketed) == rows(plain))
+    // the event-level window partitions by (key, TIME BUCKET) — the
+    // hot-key bound this form exists for
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && plan.contains("__b"),
+      s"bucketed asof lost its (key, bucket) window partitioning:\n$plan")
+  }
+
+  test("sessionizeBucketed == sessionize: sessions span buckets; numbering identical") {
+    import graft.analysis.TimeOps
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // crafted: gaps exactly at/over maxGap straddling bucket boundaries
+    val ev = Seq(
+      (1L, 0L, 1L), (1L, 100L, 2L), (1L, 201L, 3L),  // break inside bucket
+      (1L, 290L, 4L), (1L, 391L, 5L),                // break across boundary
+      (1L, 491L, 6L),                                // boundary gap == max stays
+      (2L, 50L, 7L), (2L, 50L, 8L)                   // tie at equal time
+    ).toDF("k", "t", "id")
+    assert(rows(TimeOps.sessionizeBucketed(ev, col("k"), col("t"), col("id"),
+        maxGap = 100L, bucketWidth = 300L))
+      == rows(TimeOps.sessionize(ev, col("k"), col("t"), col("id"), 100L)))
+    // random volume: sessions and silences far longer than a bucket
+    val big = spark.range(4000).select(pmod(col("id"), lit(5)).as("k"),
+      (pmod(xxhash64(col("id")), lit(40)) * 37L +
+        (col("id") % 97L) * 211L).as("t"), col("id"))
+    assert(rows(TimeOps.sessionizeBucketed(big, col("k"), col("t"), col("id"),
+        maxGap = 120L, bucketWidth = 500L))
+      == rows(TimeOps.sessionize(big, col("k"), col("t"), col("id"), 120L)))
+    // null key and null time survive identically to the plain form
+    val nulls = Seq((Some(1L), Some(10L), 1L), (Some(1L), None, 2L),
+      (None, Some(5L), 3L), (Some(1L), None, 4L)).toDF("k", "t", "id")
+    assert(rows(TimeOps.sessionizeBucketed(nulls, col("k"), col("t"), col("id"),
+        maxGap = 100L, bucketWidth = 300L))
+      == rows(TimeOps.sessionize(nulls, col("k"), col("t"), col("id"), 100L)))
+  }
+
   test("redactPii: email/IP/SSN/phone redact; order keeps SSN out of phone's jaws") {
     val got = Seq(
       "mail a.b-c_d@sub.example.co.uk now",
