@@ -83,22 +83,23 @@ object CurateVolumeBench {
 
     // ---- curate, staged, cluster-exact drop ------------------------------
     val curateDir = s"$workDir/curate"
-    val ((kept, nKept, nPairs), curateSec, curateSteal) = timed {
-      val (k, p) = TextOps.curate(docs, col("doc_id"), col("text"),
+    val ((res, nKept, nPairs), curateSec, curateSteal) = timed {
+      val r = TextOps.curate(docs, col("doc_id"), col("text"),
         exactClusters = true, staging = Some(curateDir))
-      (k, k.count(), p.count())
+      (r, r.kept.count(), r.nearPairs.count())
     }
+    val kept = res.kept
     // chain sanity: how many chain docs survived (expect 1 keeper if the
     // chain resolved as one connected component)
     val chainKept = kept.filter(col("doc_id") >= nClones &&
       col("doc_id") < nClones + nChain).count()
     val clonesKept = kept.filter(col("doc_id") < nClones).count()
 
-    // ---- hot-bucket audit over the STAGED base (no recompute) -----------
-    val base = spark.read.parquet(s"$curateDir/minhash_base")
-    val hot = Buckets.hotBuckets(base, Seq("band", "bucket"), maxBucket = 4096)
-      .collect()
-    val maxBucketN = base.groupBy("band", "bucket").count()
+    // ---- hot-bucket audit: wired into curate's result, reads the
+    // STAGED base (no recompute of the minhash chain)
+    val hot = res.hotBuckets.collect()
+    val maxBucketN = spark.read.parquet(s"$curateDir/minhash_base")
+      .groupBy("band", "bucket").count()
       .agg(max("count")).as[Long].head()
 
     // ---- dedupCascade + cluster stats ------------------------------------

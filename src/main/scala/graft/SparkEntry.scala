@@ -559,7 +559,7 @@ object SparkEntry {
           broadcast(docs.filter(col("doc_id") === 1).select(col("text"))))
         .select((col("id") + 6000000).as("doc_id"), col("text"))
       TextOps.curate(docs.unionByName(dups).unionByName(clones),
-        col("doc_id"), col("text"))._1
+        col("doc_id"), col("text")).kept
     }),
     "q48_dedup_cascade" -> ((s, d) => {
       // exact -> near dedup composition: a 500-strong identical cluster

@@ -514,7 +514,20 @@ object TextOps {
       n: Int = 3, m: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5, maxBucket: Int = 4096,
       fused: Boolean = true, staging: Option[String] = None,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    minhashPairsAndBase(docs, id, text, n, m, bands, minJaccard, maxBucket,
+      fused, staging, scope)._1
+
+  /** [[minhashDupPairs]] plus its materialized (id, hs, band, bucket)
+    * base — what the hot-bucket audit reads ([[curate]] returns
+    * `Buckets.hotBuckets` over exactly this frame, so auditing costs a
+    * re-scan of the staged/cached base, never a recompute of the
+    * minhash chain).
+    */
+  private def minhashPairsAndBase(docs: DataFrame, id: Column, text: Column,
+      n: Int, m: Int, bands: Int, minJaccard: Double, maxBucket: Int,
+      fused: Boolean, staging: Option[String],
+      scope: CacheScope): (DataFrame, DataFrame) = {
     // explode_outer: band-key arrays are never empty, and plain explode
     // lets InferFiltersFromGenerate push a filter that re-inlines the
     // whole minhash expression tree (see Pipeline.extractRows).
@@ -546,7 +559,7 @@ object TextOps {
       col("id").as("id_a"), col("hs").as("hs_a"))
     val b = salted.select(col("band"), col("bucket"), col("__salt"),
       col("id").as("id_b"), col("hs").as("hs_b"))
-    a.join(b, Seq("band", "bucket", "__salt"))
+    val pairs = a.join(b, Seq("band", "bucket", "__salt"))
       .filter(col("id_a") < col("id_b"))
       // dedupe pairs BEFORE the exact-Jaccard rerank: a pair colliding
       // in k bands pays ONE set intersection, not k (the shingle-hash
@@ -555,6 +568,7 @@ object TextOps {
       .select(col("id_a"), col("id_b"),
         jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    (pairs, base)
   }
 
   // ---- deterministic dataset splitting ---------------------------------
@@ -782,9 +796,15 @@ object TextOps {
     * COMPONENT clusters instead ([[dupClusters]] min-id propagation):
     * exact on transitive chains the greedy rule keeps (see the
     * [[dupClusters]] doc for the (1,3),(2,3) example), at the cost of
-    * the O(diameter) propagation rounds. Returns (kept: (doc_id,
-    * lang_pred, n_tokens, punct_ratio), nearPairs: (id_a, id_b,
-    * jaccard)).
+    * the O(diameter) propagation rounds. Returns a [[CurationResult]]:
+    * kept (doc_id, lang_pred, n_tokens, punct_ratio), nearPairs (id_a,
+    * id_b, jaccard), and the hot-bucket audit frame — no-silent-caps
+    * wired in, not bolted on: `hotBuckets` over the SAME materialized
+    * minhash base the join read (staged parquet or the cached frame),
+    * so running the audit re-scans the barrier instead of recomputing
+    * the minhash chain. The frame is lazy — an unconsumed audit costs
+    * nothing — but a 100 TB job should run and log it alongside the
+    * dedup itself (CurateVolumeBench shows the shape).
     */
   def curate(docs: DataFrame, id: Column, text: Column,
       lang: String = "en", minTokens: Int = 30, maxPunctRatio: Double = 0.2,
@@ -793,7 +813,7 @@ object TextOps {
       exactClusters: Boolean = false,
       staging: Option[String] = None,
       scope: CacheScope = CacheScope.unmanaged,
-      fused: Boolean = true): (DataFrame, DataFrame) = {
+      fused: Boolean = true): CurationResult = {
     val staged =
       curationStage(docs, id, text, lang, minTokens, maxPunctRatio, fused)
     // keepers feed BOTH the near-dup join and the final anti-join:
@@ -806,14 +826,23 @@ object TextOps {
     val keepers = Staging.materialize(
       dedupStaged(staged, docs, id, text),
       staging, "curate_keepers", scope)
-    val pairs = minhashDupPairs(keepers, col("doc_id"), col("text"),
+    val (pairs, base) = minhashPairsAndBase(keepers, col("doc_id"), col("text"),
       n, m, bands, minJaccard, maxBucket, fused, staging, scope)
     val dropIds =
       if (exactClusters) clusterDropIds(pairs, staging)
       else pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
     val kept = keepers.join(dropIds, Seq("doc_id"), "left_anti").drop("text")
-    (kept, pairs)
+    CurationResult(kept, pairs,
+      Buckets.hotBuckets(base, Seq("band", "bucket"), maxBucket))
   }
+
+  /** What [[curate]] hands back. `hotBuckets` is the audit of what the
+    * LSH bucket bound split (one row per oversized bucket; empty =
+    * the salt stayed a pure backstop) — see [[Buckets.hotBuckets]] for
+    * the columns and the pairs-forgone arithmetic.
+    */
+  final case class CurationResult(kept: DataFrame, nearPairs: DataFrame,
+      hotBuckets: DataFrame)
 
   // ---- near-dup cluster grouping (connected components) ----------------
   /** Groups a near-dup PAIR set into duplicate clusters: every doc

@@ -226,14 +226,25 @@ class AnalysisSpec extends AnyFunSuite {
     assert(clash.getMessage.toLowerCase.contains("exist"),
       s"expected a path-exists failure, got: ${clash.getMessage}")
     // the composed curate() stages every barrier under its (fresh) dir
-    val (kept, pairs) = TextOps.curate(documents.select(col("doc_id"), col("text")),
+    val stagedCur = TextOps.curate(documents.select(col("doc_id"), col("text")),
       col("doc_id"), col("text"), staging = Some(dir2), exactClusters = true)
-    val (keptC, pairsC) = TextOps.curate(documents.select(col("doc_id"), col("text")),
+    val (kept, pairs) = (stagedCur.kept, stagedCur.nearPairs)
+    val cachedCur = TextOps.curate(documents.select(col("doc_id"), col("text")),
       col("doc_id"), col("text"), exactClusters = true)
+    val (keptC, pairsC) = (cachedCur.kept, cachedCur.nearPairs)
     assert(canon(pairs) == canon(pairsC))
     assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
       keptC.select("doc_id").as[Long].collect().sorted.toSeq)
     assert(new java.io.File(s"$dir2/curate_keepers").exists())
+    // the wired-in hot-bucket audit READS the staged minhash base (a
+    // parquet scan of the staging dir), never recomputes the chain
+    val auditPlan = stagedCur.hotBuckets.queryExecution.executedPlan.toString
+    assert(auditPlan.contains("minhash_base"),
+      s"audit must scan the staged base:\n$auditPlan")
+    assert(!auditPlan.toLowerCase.contains("regexp"),
+      s"audit recomputed the shingle chain:\n$auditPlan")
+    // no oversized buckets on this corpus — the salt stayed a backstop
+    assert(stagedCur.hotBuckets.count() == 0)
   }
 
   test("CacheScope: releasing a call drops exactly its barrier caches") {
@@ -249,8 +260,9 @@ class AnalysisSpec extends AnyFunSuite {
     val docs = documents.select(col("doc_id"), col("text"))
       .filter(col("doc_id") =!= 424242L)
     val scope = new CacheScope
-    val (kept, pairs) = TextOps.curate(docs, col("doc_id"), col("text"),
+    val res = TextOps.curate(docs, col("doc_id"), col("text"),
       scope = scope)
+    val (kept, pairs) = (res.kept, res.nearPairs)
     kept.count(); pairs.count()
     val added = sc.getPersistentRDDs.keySet -- baseline
     assert(added.nonEmpty,
@@ -740,8 +752,9 @@ class AnalysisSpec extends AnyFunSuite {
     val clones = spark.range(50).crossJoin(
         broadcast(base.filter(col("doc_id") === 1).select(col("text"))))
       .select((col("id") + 700000).as("doc_id"), col("text"))
-    val (kept, pairs) = TextOps.curate(
+    val res = TextOps.curate(
       base.unionByName(dups).unionByName(clones), col("doc_id"), col("text"))
+    val (kept, pairs) = (res.kept, res.nearPairs)
     val keptIds = kept.select("doc_id").as[Long].collect().toSet
     // every clone collapses onto its base keeper in the exact stage
     assert(!keptIds.exists(_ >= 700000), "a clone survived the exact collapse")
@@ -827,8 +840,9 @@ class AnalysisSpec extends AnyFunSuite {
       .select((col("doc_id") + 200000).as("doc_id"),
         concat(col("text"), lit(" zz yy")).as("text"))
     val all = base.unionByName(g1).unionByName(g2)
-    val (kept, pairs) = TextOps.curate(all, col("doc_id"), col("text"),
+    val res = TextOps.curate(all, col("doc_id"), col("text"),
       exactClusters = true)
+    val (kept, pairs) = (res.kept, res.nearPairs)
     val keptIds = kept.select("doc_id").as[Long].collect().toSet
     val clusters = TextOps.dupClusters(pairs).as[(Long, Long)].collect()
     // exactly the non-keeper members of every component are gone
