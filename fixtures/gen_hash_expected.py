@@ -20,6 +20,8 @@ Writes (all under fixtures/):
     expected_curate.parquet   (doc_id, lang_pred, n_tokens,
                                punct_ratio)                   for q50
     expected_contamination.parquet  (doc_id, n_hits)          for q58
+    expected_release.parquet  (doc_id, source, n_tokens,
+                               split)                         for q64
 
 Mirrored semantics (kept in lockstep with graft.analysis.TextOps — the
 constants here ARE the spec):
@@ -294,6 +296,35 @@ def main(sf_dir):
         return ths[-1][1]
     write(con, "expected_split", "doc_id BIGINT, split VARCHAR",
           sorted((i, split_of(i)) for i in base))
+
+    # q64: the composed corpus RELEASE over the q50 corpus (base +
+    # near-dups + clone cluster) with the q58 benchmark (docs 0-4):
+    #   curate -> decontaminate (8-gram overlap, minHits 1) ->
+    #   per-source quota (12 best by (n_tokens desc, id asc)) ->
+    #   deterministic 90/5/5 split on the doc id.
+    # Injected docs carry literal sources (mirroring the Spark query).
+    srcs = dict(con.execute(
+        f"SELECT doc_id, source FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall())
+
+    def src_of(i):
+        if i in srcs:
+            return srcs[i]
+        return "dup.example.com" if i < 6000000 else "clone.example.com"
+
+    clean = [(i, ntok) for (i, _lp, ntok, _pr) in curate(q50)
+             if not (shingle_hashes(q50[i], n=8) & bench)]
+    by_src = {}
+    for i, ntok in clean:
+        by_src.setdefault(src_of(i), []).append((i, ntok))
+    quota_keep = set()
+    for lst in by_src.values():
+        lst.sort(key=lambda x: (-x[1], x[0]))
+        quota_keep |= {i for i, _ in lst[:12]}
+    write(con, "expected_release",
+          "doc_id BIGINT, source VARCHAR, n_tokens INTEGER, split VARCHAR",
+          sorted((i, src_of(i), ntok, split_of(i))
+                 for i, ntok in clean if i in quota_keep))
 
 
 if __name__ == "__main__":

@@ -122,6 +122,25 @@ object CurateVolumeBench {
       (byKeeper.count(), byKeeper.agg(max("count")).as[Long].head())
     }
 
+    // ---- composed corpus release (curate -> decontaminate -> quota ->
+    // split) at the same volume: ~2000 synthetic sources, a 200-doc
+    // benchmark sampled from the corpus itself (those docs self-hit and
+    // must be decontaminated away; id 17 lands in the clone cluster, so
+    // the whole cluster's keeper is flagged too), quota at 1500/source
+    // (binding: ~1800 survive curation per source), 90/5/5 split.
+    // Deterministic like everything above: counts must reproduce.
+    val docsS = docs.withColumn("source",
+      concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(499))))
+    val benchDocs = docs.filter(pmod(col("doc_id"), lit(5000)) === 17)
+      .select(col("text"))
+    val ((bySplit, nContam, relHot), relSec, relSteal) = timed {
+      val r = TextOps.release(docsS, col("doc_id"), col("text"), col("source"),
+        benchDocs, col("text"), maxPerSource = 1500,
+        staging = Some(s"$workDir/release"))
+      (r.shards.groupBy("split").count().as[(String, Long)].collect().toMap,
+        r.contaminated.count(), r.hotBuckets.count())
+    }
+
     val json =
       s"""{"n_docs":$nDocs,"n_clones":$nClones,"n_chain":$nChain,""" +
       s""""curate_sec":${f(curateSec)},"curate_steal_pct":${f(curateSteal)},""" +
@@ -132,7 +151,12 @@ object CurateVolumeBench {
       s""""cascade_pairs":$nCascadePairs,"exact_groups_gt1":$nGroups,""" +
       s""""max_exact_group":$maxGroup,""" +
       s""""cluster_sec":${f(clusterSec)},"cluster_steal_pct":${f(clusterSteal)},""" +
-      s""""n_clusters":${clusterStats._1},"max_cluster":${clusterStats._2}}"""
+      s""""n_clusters":${clusterStats._1},"max_cluster":${clusterStats._2},""" +
+      s""""release_sec":${f(relSec)},"release_steal_pct":${f(relSteal)},""" +
+      s""""release_train":${bySplit.getOrElse("train", 0L)},""" +
+      s""""release_val":${bySplit.getOrElse("val", 0L)},""" +
+      s""""release_test":${bySplit.getOrElse("test", 0L)},""" +
+      s""""release_contaminated":$nContam,"release_hot_buckets":$relHot}"""
     println(json)
     spark.stop()
   }

@@ -561,6 +561,31 @@ object SparkEntry {
       TextOps.curate(docs.unionByName(dups).unionByName(clones),
         col("doc_id"), col("text")).kept
     }),
+    "q64_release" -> ((s, d) => {
+      // the composed corpus release (curate -> decontaminate ->
+      // per-source quota -> deterministic split) over the q50 corpus
+      // (base + near-dups + a 100-clone cluster) with the q58
+      // benchmark (docs 0-4): quota keeps the 12 longest-by-tokens
+      // pages per source. Hash-checked against the Python mirror's
+      // composition of the same four stages
+      // (fixtures/gen_hash_expected.py, expected_release.parquet)
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val dups = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"),
+          lit("dup.example.com").as("source"))
+      val clones = s.range(100).crossJoin(
+          broadcast(base.filter(col("doc_id") === 1).select(col("text"))))
+        .select((col("id") + 6000000).as("doc_id"), col("text"),
+          lit("clone.example.com").as("source"))
+      val bench = base.filter(col("doc_id") < 5).select(col("text"))
+      TextOps.release(base.unionByName(dups).unionByName(clones),
+          col("doc_id"), col("text"), col("source"), bench, col("text"),
+          maxPerSource = 12).shards
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("split"))
+    }),
+
     "q48_dedup_cascade" -> ((s, d) => {
       // exact -> near dedup composition: a 500-strong identical cluster
       // (plus q25's injected near-dups) must collapse in the exact
@@ -1045,6 +1070,13 @@ object SparkEntry {
 
     "q63_hash_split" ->
       ("SELECT doc_id, split " +
-        "FROM read_parquet('/root/repo/fixtures/expected_split.parquet')")
+        "FROM read_parquet('/root/repo/fixtures/expected_split.parquet')"),
+
+    // the composed corpus release: all four stages mirrored end-to-end
+    // in Python (curate + 8-gram decontamination + per-source quota +
+    // hash split — gen_hash_expected.py)
+    "q64_release" ->
+      ("SELECT doc_id, source, n_tokens, split " +
+        "FROM read_parquet('/root/repo/fixtures/expected_release.parquet')")
   )
 }

@@ -844,6 +844,84 @@ object TextOps {
   final case class CurationResult(kept: DataFrame, nearPairs: DataFrame,
       hotBuckets: DataFrame)
 
+  // ---- the composed corpus release ------------------------------------
+  /** The flagship user journey, composed end-to-end: raw crawl in,
+    * train/val/test shards out. Stages, in the order every published
+    * pre-training pipeline runs them:
+    *
+    *  1. [[curate]] — hygiene filter, exact collapse, near-dup drop
+    *     (all of that operator's staging/caching/audit semantics apply
+    *     unchanged; ONE staging dir serves the whole composition);
+    *  2. benchmark DECONTAMINATION — [[contaminationHits]] over the
+    *     curated keepers (broadcast n-gram semi-join; `minHits`
+    *     flagged docs anti-joined away);
+    *  3. per-source QUOTA — [[sourceQuota]] with the curation-stage
+    *     token count as the quality key (keep the `maxPerSource`
+    *     longest pages per source, ties to the lower id);
+    *  4. deterministic SPLIT — [[splitByHash]] on the doc id (compose
+    *     [[splitByHash]] directly on a group key when whole-domain
+    *     splitting is required — the near-dup-leakage guard its doc
+    *     describes).
+    *
+    * Scale shape: every inter-stage join is an 8-byte-id semi/anti/
+    * equi join against frames the stages already bounded (kept ids,
+    * flagged ids, quota keepers); the raw table is re-scanned
+    * column-pruned to (id, text) for decontamination and (id, source)
+    * for the quota — the same deliberate two-scan trade as
+    * [[dedupStaged]], cheaper at corpus scale than materializing a
+    * text-carrying intermediate. Nothing in the composition adds a
+    * shuffle class the pieces did not already have.
+    *
+    * Returns a [[ReleaseResult]]: `shards` (doc_id, lang_pred,
+    * n_tokens, punct_ratio, source, split), the curation near-pairs
+    * and hot-bucket audit, the contamination flags, and `report` — the
+    * per-(source, split) doc/token volumes a release publishes
+    * (exact sums only, so the whole pipeline is oracle-checkable:
+    * q64 vs the independent Python mirror).
+    */
+  def release(docs: DataFrame, id: Column, text: Column, source: Column,
+      benchmark: DataFrame, benchText: Column,
+      lang: String = "en", minTokens: Int = 30, maxPunctRatio: Double = 0.2,
+      n: Int = 3, m: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
+      maxBucket: Int = 4096,
+      contamN: Int = 8, minHits: Long = 1L,
+      maxPerSource: Int = Int.MaxValue,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      exactClusters: Boolean = false,
+      staging: Option[String] = None,
+      scope: CacheScope = CacheScope.unmanaged,
+      fused: Boolean = true): ReleaseResult = {
+    val named = docs.select(id.as("doc_id"), text.as("text"), source.as("source"))
+    val cur = curate(named, col("doc_id"), col("text"), lang, minTokens,
+      maxPunctRatio, n, m, bands, minJaccard, maxBucket, exactClusters,
+      staging, scope, fused)
+    // regain text for the kept ids only (column-pruned raw re-scan +
+    // 8-byte-id semi-join) — the decontamination input
+    val keptDocs = named.select(col("doc_id"), col("text"))
+      .join(cur.kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    val contaminated = contaminationHits(keptDocs, col("doc_id"), col("text"),
+      benchmark, benchText, contamN, minHits)
+    val clean = cur.kept.join(contaminated, Seq("doc_id"), "left_anti")
+      .join(named.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val quota = sourceQuota(clean, col("doc_id"), col("source"),
+      col("n_tokens"), maxPerSource)
+    val shards = splitByHash(quota, col("doc_id"), fractions)
+    val report = shards.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+    ReleaseResult(shards, cur.nearPairs, cur.hotBuckets, contaminated, report)
+  }
+
+  /** What [[release]] hands back: the split shards, the curation-stage
+    * evidence (near pairs + hot-bucket audit), the decontamination
+    * flags (what stage 2 dropped and why), and the publishable
+    * per-(source, split) volume report. All lazy frames — consume what
+    * the job needs.
+    */
+  final case class ReleaseResult(shards: DataFrame, nearPairs: DataFrame,
+      hotBuckets: DataFrame, contaminated: DataFrame, report: DataFrame)
+
   // ---- near-dup cluster grouping (connected components) ----------------
   /** Groups a near-dup PAIR set into duplicate clusters: every doc
     * appearing in `pairs` (id_a, id_b) is labelled with the minimum doc

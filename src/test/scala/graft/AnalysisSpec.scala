@@ -772,6 +772,40 @@ class AnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("release: curate -> decontaminate -> quota -> split composes end-to-end") {
+    val docs = documents.select(col("doc_id"), col("text"), col("source"))
+    val bench = docs.filter(col("doc_id") < 5).select(col("text"))
+    val res = TextOps.release(docs, col("doc_id"), col("text"), col("source"),
+      bench, col("text"), maxPerSource = 3)
+    val shards = res.shards
+    val ids = shards.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    // decontamination: benchmark members self-hit and are gone
+    val flagged = res.contaminated.select("doc_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty, "benchmark self-hits missing (vacuous)")
+    assert(flagged.intersect(ids).isEmpty,
+      s"contaminated docs leaked into shards: ${flagged.intersect(ids)}")
+    // quota: never more than maxPerSource docs of one source
+    val maxPer = shards.groupBy("source").count().agg(max("count"))
+      .as[Long].head()
+    assert(maxPer <= 3, s"quota violated: $maxPer")
+    // split: deterministic — identical to splitByHash on the same ids
+    val expectSplit = TextOps.splitByHash(shards.select("doc_id"),
+        col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .as[(Long, String)].collect().toMap
+    shards.select("doc_id", "split").as[(Long, String)].collect()
+      .foreach { case (i, sp) => assert(sp == expectSplit(i)) }
+    // report: per-(source, split) volumes sum to the shard totals
+    val (repDocs, repToks) = res.report.agg(sum("n_docs"), sum("total_tokens"))
+      .as[(Long, Long)].head()
+    val (shDocs, shToks) = shards.agg(count(lit(1)),
+      sum(col("n_tokens").cast("long"))).as[(Long, Long)].head()
+    assert(repDocs == shDocs && repToks == shToks)
+    // shards carry the curation features (a release is self-describing)
+    assert(shards.columns.toSet == Set("doc_id", "lang_pred", "n_tokens",
+      "punct_ratio", "source", "split"))
+  }
+
   test("dupClusters: transitive chains collapse to min-id components") {
     // the case the greedy per-pair drop gets wrong: (1,3),(2,3) is ONE
     // component {1,2,3} (keeper 1), while greedy would keep {1,2}
