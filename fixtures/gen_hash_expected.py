@@ -22,6 +22,7 @@ Writes (all under fixtures/):
     expected_contamination.parquet  (doc_id, n_hits)          for q58
     expected_release.parquet  (doc_id, source, n_tokens,
                                split)                         for q64
+    expected_bpe.parquet      (doc_id, n_bpe)                 for q65
 
 Mirrored semantics (kept in lockstep with graft.analysis.TextOps — the
 constants here ARE the spec):
@@ -194,6 +195,68 @@ def curate(docs, lang="en", min_tokens=30, max_punct=0.2, min_jaccard=0.5):
                   for i in keepers if i not in dropped)
 
 
+# ---- BPE mirror (q65) -------------------------------------------------
+# Mirrors graft.analysis.Bpe symbol-for-symbol: words are the TOKEN_RE
+# runs of lower(text); BPE merges inside words only; every non-word
+# non-space char is one token. Training = Sennrich loop with
+# left-to-right NON-OVERLAPPING pair counting (so counting and merging
+# agree on runs like "aaa"), ties to the lexicographically smallest
+# (left, right); application = greedy lowest-rank-first.
+SYMBOL_RE = regex.compile(r"[^\p{L}0-9' \t\n\x0B\f\r]")
+
+
+def bpe_merge_all(syms, l, r):
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(word_counts, n_merges):
+    active = [(list(w), c) for w, c in word_counts if len(list(w)) >= 2]
+    merges = []
+    while len(merges) < n_merges:
+        counts = {}
+        for syms, c in active:
+            i = 0
+            while i < len(syms) - 1:
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+                if i < len(syms) - 2 and syms[i] == syms[i + 1] == syms[i + 2]:
+                    i += 2
+                else:
+                    i += 1
+        best, best_n = None, 1  # a pair must repeat to earn a merge
+        for p, n in counts.items():
+            if n > best_n or (n == best_n and best is not None and p < best):
+                best, best_n = p, n
+        if best is None:
+            break
+        merges.append(best)
+        active = [(m, c) for syms, c in active
+                  for m in [bpe_merge_all(syms, *best)] if len(m) >= 2]
+    return merges
+
+
+def bpe_count_word(word, ranks):
+    syms = list(word)
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (syms[i], syms[i + 1]), r
+        if best is None:
+            break
+        syms = bpe_merge_all(syms, *best)
+    return len(syms)
+
+
 def main(sf_dir):
     con = duckdb.connect()
     base = dict(con.execute(
@@ -325,6 +388,22 @@ def main(sf_dir):
           "doc_id BIGINT, source VARCHAR, n_tokens INTEGER, split VARCHAR",
           sorted((i, src_of(i), ntok, split_of(i))
                  for i, ntok in clean if i in quota_keep))
+
+    # q65: real BPE token counts — vocab trained on the SAME table
+    # (200 merges, word types capped at 100000 by (count desc, word
+    # asc) — UTF-8 bytewise and code-point order agree, so the cap set
+    # matches Spark's orderBy), then greedy-applied per word + one
+    # token per non-word non-space char
+    wc = {}
+    for t in base.values():
+        for w in tokens(t):
+            wc[w] = wc.get(w, 0) + 1
+    top = sorted(wc.items(), key=lambda x: (-x[1], x[0]))[:100000]
+    ranks = {p: i for i, p in enumerate(bpe_train(top, 200))}
+    write(con, "expected_bpe", "doc_id BIGINT, n_bpe INTEGER",
+          sorted((i, sum(bpe_count_word(w, ranks) for w in tokens(t))
+                  + len(SYMBOL_RE.findall(t)))
+                 for i, t in base.items()))
 
 
 if __name__ == "__main__":

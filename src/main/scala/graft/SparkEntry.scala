@@ -561,6 +561,20 @@ object SparkEntry {
       TextOps.curate(docs.unionByName(dups).unionByName(clones),
         col("doc_id"), col("text")).kept
     }),
+    "q65_bpe_tokens" -> ((s, d) => {
+      // real BPE token budgeting: vocab trained on the same table
+      // (200 merges, Sennrich procedure, deterministic tiebreaks),
+      // applied as a fused broadcast expression; hash-checked against
+      // the Python mirror's independent train + greedy-apply
+      // (fixtures/gen_hash_expected.py, expected_bpe.parquet)
+      import graft.analysis.Bpe
+      val docs = t(s, d, "documents")
+      val vocab = s.sparkContext.broadcast(
+        Bpe.train(docs, col("text"), nMerges = 200))
+      docs.select(col("doc_id"),
+        Bpe.tokenCount(col("text"), vocab).as("n_bpe"))
+    }),
+
     "q64_release" -> ((s, d) => {
       // the composed corpus release (curate -> decontaminate ->
       // per-source quota -> deterministic split) over the q50 corpus
@@ -1077,6 +1091,12 @@ object SparkEntry {
     // hash split — gen_hash_expected.py)
     "q64_release" ->
       ("SELECT doc_id, source, n_tokens, split " +
-        "FROM read_parquet('/root/repo/fixtures/expected_release.parquet')")
+        "FROM read_parquet('/root/repo/fixtures/expected_release.parquet')"),
+
+    // real BPE: the mirror independently re-trains the merge list and
+    // greedy-applies it (gen_hash_expected.py)
+    "q65_bpe_tokens" ->
+      ("SELECT doc_id, n_bpe " +
+        "FROM read_parquet('/root/repo/fixtures/expected_bpe.parquet')")
   )
 }

@@ -772,6 +772,41 @@ class AnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE: deterministic training on the textbook corpus; fused apply counts") {
+    import graft.analysis.Bpe
+    // the Sennrich-style worked example — merges hand-derived:
+    //   round 1: (e,s)=9 ties (s,t)=9 -> smaller pair (e,s)
+    //   round 2: (es,t)=9; round 3: (l,o)=7 ties (o,w)=7 -> (l,o)
+    //   round 4: (lo,w)=7
+    val v = Bpe.trainFromCounts(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    assert(v.merges == Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w"),
+      s"got ${v.merges}")
+    // greedy lowest-rank application
+    assert(v.countWord("low") == 1)        // lo -> low
+    assert(v.countWord("lowest") == 2)     // low + est
+    assert(v.countWord("newest") == 4)     // n, e, w, est
+    assert(v.countWord("unseen") == 6)     // nothing merges
+    // training exhausts when no pair repeats (stops early, no padding)
+    assert(Bpe.trainFromCounts(Seq("ab" -> 1L, "cd" -> 1L), 10).merges.isEmpty)
+    // the fused expression: words through the vocab + one token per
+    // symbol char; matches the per-word counts above
+    val bc = spark.sparkContext.broadcast(v)
+    val got = Seq("the lowest newest low", "low, lower!", null)
+      .toDF("t").select(Bpe.tokenCount(col("t"), bc).as("n"))
+      .as[Option[Int]].collect().toSeq
+    // "the"(t,h,e->3) lowest(2) newest(4) low(1) = 10;
+    // low(1) lower(l,o,w,e,r -> lo,w,e,r -> low,e,r = 3) + ',' + '!' = 6;
+    // null -> null
+    assert(got == Seq(Some(10), Some(6), None), s"got $got")
+    // distributed training == local training on the same word counts
+    val docs = Seq("low low low low low lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val dv = Bpe.train(docs, col("text"), nMerges = 4)
+    assert(dv.merges == v.merges, s"got ${dv.merges}")
+  }
+
   test("release: curate -> decontaminate -> quota -> split composes end-to-end") {
     val docs = documents.select(col("doc_id"), col("text"), col("source"))
     val bench = docs.filter(col("doc_id") < 5).select(col("text"))
