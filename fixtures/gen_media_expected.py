@@ -41,8 +41,61 @@ def h(data: bytes, salt: int) -> int:
     return acc & 0x7FFFFFFF
 
 
+# ---- dHash mirror (q66) ----------------------------------------------
+# Mirrors StubCodec.resize (nearest-neighbor byte resample, target
+# snapped DOWN to a multiple of the 72-pixel raster when >= 72),
+# StubCodec.grayFrame (nearest-neighbor unsigned-byte sample onto the
+# 9x8 raster, frame 0), DHash64 (bit y*8+x set iff right neighbor
+# strictly brighter) and TextOps.bandedHammingPairs (8 bands x 8 bits,
+# hamming <= 7, pairs share any band, id_a < id_b).
+def stub_resize(content: bytes, w: int, hh: int) -> bytes:
+    n0 = max(8, min(len(content), (w * hh) // 256))
+    n = (n0 // 72) * 72 if n0 >= 72 else n0
+    if not content:
+        return bytes(n)
+    return bytes(content[(i * len(content)) // n] for i in range(n))
+
+
+def gray_frame(content: bytes, frame_idx: int = 0) -> list:
+    if not content:
+        return [0] * 72
+    return [content[((p * len(content)) // 72 + frame_idx * 7) % len(content)]
+            for p in range(72)]
+
+
+def dhash64(gray: list) -> int:
+    u = 0
+    for y in range(8):
+        for x in range(8):
+            if gray[y * 9 + x + 1] > gray[y * 9 + x]:
+                u |= 1 << (y * 8 + x)
+    return u
+
+
+def dhash_pairs(hashes: dict, bands=8, max_hamming=7):
+    """hashes: {id: unsigned 64-bit dhash}. [(id_a, id_b, hamming)]."""
+    buckets = {}
+    for i in hashes:
+        for b in range(bands):
+            key = (b, (hashes[i] >> (b * 8)) & 0xFF)
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                pairs.add((members[x], members[y]))
+    out = []
+    for a, b in sorted(pairs):
+        hd = bin(hashes[a] ^ hashes[b]).count("1")
+        if hd <= max_hamming:
+            out.append((a, b, hd))
+    return out
+
+
 def main():
     rows = []
+    images = {}
     with open(f"{HERE}/assets_dump.jsonl") as f:
         for line in f:
             a = json.loads(line)
@@ -54,6 +107,8 @@ def main():
                 a["media_ref"], mime, len(content),
                 320 + h(content, 1) % 1600, 240 + h(content, 2) % 1200,
                 n_frames, len(content) > 0, min(4, n_frames)))
+            if mime.startswith("image/") and len(content) >= 72:
+                images[a["media_ref"]] = content
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE t (media_ref VARCHAR, mime VARCHAR, n_bytes INTEGER, "
@@ -63,6 +118,19 @@ def main():
     out = f"{HERE}/expected_media.parquet"
     con.execute(f"COPY t TO '{out}' (FORMAT PARQUET)")
     print(f"wrote {len(rows):6d} rows to expected_media.parquet")
+
+    # q66: images + resized (~r, maxSide 192) + noisy (~n, every byte
+    # XOR 1) copies; one frame (#0) per image asset
+    hashes = {}
+    for ref, content in images.items():
+        hashes[ref + "#0"] = dhash64(gray_frame(content))
+        hashes[ref + "~r#0"] = dhash64(gray_frame(stub_resize(content, 192, 192)))
+        hashes[ref + "~n#0"] = dhash64(gray_frame(bytes(b ^ 1 for b in content)))
+    dd = dhash_pairs(hashes)
+    con.execute("CREATE TABLE d (id_a VARCHAR, id_b VARCHAR, hamming INTEGER)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", dd)
+    con.execute(f"COPY d TO '{HERE}/expected_media_dedup.parquet' (FORMAT PARQUET)")
+    print(f"wrote {len(dd):6d} rows to expected_media_dedup.parquet")
 
 
 if __name__ == "__main__":

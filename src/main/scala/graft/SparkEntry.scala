@@ -452,6 +452,22 @@ object SparkEntry {
     }),
     "q34_media_decode" -> ((s, _) =>
       graft.media.BinaryOps.mediaPipeline(s, 2000)),
+    "q66_media_dedup" -> ((s, _) => {
+      // perceptual-hash (dHash) media dedup over the 2000-doc asset
+      // corpus + planted resized and re-encoded (low-bit noise)
+      // copies — hash-checked against the Python StubCodec+dHash
+      // mirror (fixtures/gen_media_expected.py)
+      import s.implicits._
+      import graft.media.BinaryOps
+      val assets = BinaryOps.assetsFor(Corpus.generate(s, 2000))
+      val images = assets.filter(a =>
+        a.mime.startsWith("image/") && a.content.length >= 72)
+      val resized = BinaryOps.resizeImages(images, maxSide = 192)
+        .map(a => a.copy(media_ref = a.media_ref + "~r"))
+      val noisy = images.map(a => a.copy(media_ref = a.media_ref + "~n",
+        content = a.content.map(b => (b ^ 1).toByte)))
+      BinaryOps.dhashDupPairs(images.union(resized).union(noisy))
+    }),
     "q43_analytes" -> ((s, _) => {
       // generic lab-entity surface (north_star): best candidate per
       // secondary analyte from full-page (optimum) text, hash-checked
@@ -1027,6 +1043,11 @@ object SparkEntry {
       ("SELECT media_ref, mime, n_bytes, width, height, n_frames, ok, " +
         "n_sampled_frames " +
         "FROM read_parquet('/root/repo/fixtures/expected_media.parquet')"),
+    // perceptual-hash dedup: the mirror re-derives resample + noise +
+    // grayFrame + dHash + the banded Hamming join independently
+    "q66_media_dedup" ->
+      ("SELECT id_a, id_b, hamming " +
+        "FROM read_parquet('/root/repo/fixtures/expected_media_dedup.parquet')"),
 
     "q49_curation" ->
       ("SELECT doc_id, lang_pred, n_tokens, punct_ratio FROM (" +

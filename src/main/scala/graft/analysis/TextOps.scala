@@ -406,7 +406,28 @@ object TextOps {
   def simhashDupPairs(docs: DataFrame, id: Column, text: Column,
       bands: Int = 4, maxHamming: Int = 3, maxBucket: Int = 4096,
       fused: Boolean = true, staging: Option[String] = None,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    bandedHammingPairs(docs.select(id.as("id"), simhash(text, fused).as("sh")),
+      col("id"), col("sh"), bands, maxHamming, maxBucket, staging, scope,
+      stagingName = "simhash_base")
+
+  /** The banded-Hamming self-join behind [[simhashDupPairs]], exposed
+    * for ANY 64-bit locality-sensitive hash column — text simhash,
+    * media dHash ([[graft.media.BinaryOps.dhashDupPairs]]), audio
+    * chromaprint-style hashes: band the hash into `bands` chunks; rows
+    * sharing ANY chunk are candidates (pigeonhole: a pair at Hamming
+    * distance <= bands-1 MUST agree on some band, so recall is 1.0 for
+    * maxHamming < bands — deterministic, unlike probabilistic LSH);
+    * exact-Hamming rerank once per deduped pair. Ids may be any
+    * orderable type (longs for docs, "ref#frame" strings for media).
+    * Same hot-bucket salt + staging/cache barrier semantics as the
+    * MinHash path.
+    */
+  def bandedHammingPairs(hashes: DataFrame, id: Column, hash: Column,
+      bands: Int = 4, maxHamming: Int = 3, maxBucket: Int = 4096,
+      staging: Option[String] = None,
+      scope: CacheScope = CacheScope.unmanaged,
+      stagingName: String = "hamming_base"): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming vs $bands)")
     // bands=1 would wrap the band mask to 0 (one global bucket -> a full
@@ -417,13 +438,13 @@ object TextOps {
     val width = 64 / bands
     val mask = (1L << width) - 1
     val base = Staging.materialize(
-      docs.select(id.as("id"), simhash(text, fused).as("sh"))
+      hashes.select(id.as("id"), hash.as("sh"))
         .withColumn("bk", explode_outer(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))
               .as("bucket"))): _*)))
         .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket")),
-      staging, "simhash_base", scope) // lifecycle: see minhashDupPairs / Staging
+      staging, stagingName, scope) // lifecycle: see minhashDupPairs / Staging
     val salted =
       Buckets.saltOversized(base, Seq("band", "bucket"), col("id"), maxBucket)
     val a = salted.select(col("band"), col("bucket"), col("__salt"),

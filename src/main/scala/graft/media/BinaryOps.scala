@@ -33,6 +33,10 @@ object BinaryOps {
     def decode(mime: String, bytes: Array[Byte]): Decoded
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
     def frameFeature(bytes: Array[Byte], frameIdx: Int, dim: Int): Array[Float]
+    /** Decode one frame to a w x h row-major grayscale raster (0-255)
+      * — the perceptual-hash input (dHash wants 9 x 8).
+      */
+    def grayFrame(bytes: Array[Byte], frameIdx: Int, w: Int, h: Int): Array[Int]
   }
 
   /** STUB: deterministic fake decode — metadata and features are pure
@@ -52,13 +56,35 @@ object BinaryOps {
       if (mime.startsWith("video/")) (1 + h(bytes, 3) % 120).toInt else 1,
       ok = bytes.nonEmpty)
     override def resize(bytes: Array[Byte], w: Int, h0: Int): Array[Byte] = {
-      // stub: size scales with target area; content derived from source
-      val n = math.max(8, math.min(bytes.length, (w.toLong * h0 / 256).toInt))
-      Array.tabulate(n)(i => (bytes(i % math.max(1, bytes.length)) ^ (i & 0x7f)).toByte)
+      // stub resample: nearest-neighbor over the byte stream, with the
+      // target length snapped DOWN to a multiple of the 72-pixel
+      // perceptual raster when it fits — the stub analog of "resizing
+      // preserves image content": a snapped downscale reproduces
+      // grayFrame's sample grid exactly, so the perceptual hash of a
+      // resized copy matches the original (DHashSpec pins it). Sizes
+      // below 72 are sub-perceptual thumbnails (documented loss).
+      val n0 = math.max(8, math.min(bytes.length, (w.toLong * h0 / 256).toInt))
+      val n = if (n0 >= 72) (n0 / 72) * 72 else n0
+      if (bytes.isEmpty) new Array[Byte](n)
+      else Array.tabulate(n)(i => bytes(((i.toLong * bytes.length) / n).toInt))
     }
     override def frameFeature(bytes: Array[Byte], frameIdx: Int, dim: Int): Array[Float] =
       Array.tabulate(dim)(d =>
         ((h(bytes, 100 + frameIdx * 131 + d) % 2000) - 1000) / 1000.0f)
+    override def grayFrame(bytes: Array[Byte], frameIdx: Int, w: Int,
+        h0: Int): Array[Int] = {
+      // nearest-neighbor sample of the byte stream onto the w*h raster
+      // (unsigned view); video frames shift the sample origin so frames
+      // differ. Pure function of (bytes, frameIdx) — the Python mirror
+      // replicates it digit-for-digit (gen_media_expected.py).
+      val n = w * h0
+      val len = bytes.length
+      if (len == 0) new Array[Int](n)
+      else Array.tabulate(n) { p =>
+        val idx = ((p.toLong * len) / n).toInt
+        bytes((idx + frameIdx * 7) % len) & 0xff
+      }
+    }
   }
 
   object CodecPool {
@@ -124,6 +150,55 @@ object BinaryOps {
         }
       }
     }
+  }
+
+  final case class GrayFrame(media_ref: String, frame_idx: Int,
+      gray: Array[Int])
+
+  /** Sample up to `maxFrames` evenly-spaced frames per asset as 9x8
+    * grayscale rasters (pooled codec) — the perceptual-hash input.
+    */
+  def sampleGrayFrames(assets: Dataset[Asset],
+      maxFrames: Int = 4): Dataset[GrayFrame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val codec = CodecPool.codec
+      it.flatMap { a =>
+        val d = codec.decode(a.mime, a.content)
+        val n = math.min(maxFrames, d.n_frames)
+        val step = math.max(1, d.n_frames / math.max(1, n))
+        (0 until n).iterator.map { j =>
+          GrayFrame(a.media_ref, j * step,
+            codec.grayFrame(a.content, j * step, 9, 8))
+        }
+      }
+    }
+  }
+
+  /** Perceptual-hash media near-dup: dHash64 over codec-decoded 9x8
+    * grayscale frames, banded-Hamming self-join
+    * ([[graft.analysis.TextOps.bandedHammingPairs]] — the simhash
+    * machinery on a "media_ref#frame_idx" key, same pigeonhole recall
+    * guarantee and hot-bucket salt). The standard first-line image
+    * dedup: catches re-encoded (low-bit pixel noise) and resized
+    * copies a byte-equality check misses, because gradient SIGNS
+    * survive those edits — with the stub codec, snapped resizes are
+    * exactly hash-preserving and byte noise costs a few bits
+    * (BinaryOpsSpec pins both; only frame 0 is resize-exact, so video
+    * re-dedup at other frames is approximate). Defaults: 8 bands of 8
+    * bits, maxHamming 7 (recall 1.0 under the pigeonhole bound).
+    */
+  def dhashDupPairs(assets: Dataset[Asset], maxFrames: Int = 4,
+      bands: Int = 8, maxHamming: Int = 7, maxBucket: Int = 4096,
+      staging: Option[String] = None,
+      scope: graft.analysis.CacheScope = graft.analysis.CacheScope.unmanaged)
+      : DataFrame = {
+    val hashes = sampleGrayFrames(assets, maxFrames).toDF()
+      .select(concat(col("media_ref"), lit("#"), col("frame_idx")).as("id"),
+        DHash64.of(col("gray")).as("sh"))
+    graft.analysis.TextOps.bandedHammingPairs(hashes, col("id"), col("sh"),
+      bands, maxHamming, maxBucket, staging, scope,
+      stagingName = "dhash_base")
   }
 
   /** Multimodal near-dup: frame features feed the SAME sign-LSH

@@ -65,6 +65,48 @@ class BinaryOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash dedup catches resized and re-encoded copies frame-for-frame") {
+    import graft.media.DHash64
+    // images at >= 72 bytes: the snapped stub resample is exactly
+    // hash-preserving there (below 72 is a sub-perceptual thumbnail)
+    val images = assets.filter(a =>
+      a.mime.startsWith("image/") && a.content.length >= 72).cache()
+    val resized = BinaryOps.resizeImages(images, maxSide = 192)
+      .map(a => a.copy(media_ref = a.media_ref + "~r"))
+    // "re-encode": low-bit noise on every byte — what lossy
+    // re-encoding does to pixels; gradient signs mostly survive
+    val noisy = images.map(a => a.copy(media_ref = a.media_ref + "~n",
+      content = a.content.map(b => (b ^ 1).toByte)))
+    val pairs = BinaryOps.dhashDupPairs(images.union(resized).union(noisy))
+      .as[(String, String, Int)].collect().toSeq
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    def base(id: String) = id.replace("~r", "").replace("~n", "")
+    // nothing unrelated pairs up (random 64-bit hashes don't land
+    // within Hamming 7; deterministic corpus, so this is stable)
+    pairs.foreach { case (a, b, _) => assert(base(a) == base(b), s"($a, $b)") }
+    // every image pairs with BOTH copies, and the copies with each other
+    val n = images.count()
+    assert(n > 10, "vacuous: no image assets")
+    images.collect().foreach { a =>
+      val trio = Seq(a.media_ref + "#0", a.media_ref + "~r#0", a.media_ref + "~n#0")
+      for (x <- trio; y <- trio if x < y)
+        assert(found.contains((x, y)), s"missed copy pair ($x, $y)")
+    }
+    // snapped resizes are EXACTLY hash-preserving: hamming 0
+    pairs.filter { case (a, b, _) => !a.contains("~n") && !b.contains("~n") }
+      .foreach { case (a, b, h) => assert(h == 0, s"($a, $b) hamming $h") }
+    // the fused expression agrees with a hand-rolled reference
+    val g = BinaryOps.sampleGrayFrames(images).limit(50).collect()
+    val exprHash = BinaryOps.sampleGrayFrames(images).limit(50).toDF()
+      .select(DHash64.of(col("gray"))).as[Long].collect()
+    g.zip(exprHash).foreach { case (gf, eh) =>
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (gf.gray(y * 9 + x + 1) > gf.gray(y * 9 + x)) want |= 1L << (y * 8 + x)
+      assert(want == eh, s"${gf.media_ref}")
+    }
+  }
+
   test("resize keeps non-images untouched and shrinks image payload bound") {
     val resized = BinaryOps.resizeImages(assets, maxSide = 64).cache()
     val joined = assets.as("a").join(resized.as("r"), "media_ref")
