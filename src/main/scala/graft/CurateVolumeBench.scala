@@ -123,11 +123,12 @@ object CurateVolumeBench {
     }
 
     // ---- composed corpus release (curate -> decontaminate -> quota ->
-    // split) at the same volume: ~2000 synthetic sources, a 200-doc
-    // benchmark sampled from the corpus itself (those docs self-hit and
-    // must be decontaminated away; id 17 lands in the clone cluster, so
-    // the whole cluster's keeper is flagged too), quota at 1500/source
-    // (binding: ~1800 survive curation per source), 90/5/5 split.
+    // split) at the same volume: 499 synthetic sources (~2000 docs
+    // each at 1M), a 200-doc benchmark sampled from the corpus itself
+    // (those docs self-hit and must be decontaminated away; id 17
+    // lands in the clone cluster, so the whole cluster's keeper is
+    // flagged too), quota at 1500/source (binding: ~1800 of each
+    // source's ~2000 docs survive curation), 90/5/5 split.
     // Deterministic like everything above: counts must reproduce.
     val docsS = docs.withColumn("source",
       concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(499))))

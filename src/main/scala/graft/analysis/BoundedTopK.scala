@@ -122,8 +122,12 @@ object BoundedTopKAgg {
     * no tuple allocation per row).
     */
   final class Heap(k: Int) {
-    private val qs = new Array[Double](k)
-    private val ids = new Array[Long](k)
+    // grow-on-demand up to k: a large k (a "no quota, rank everything"
+    // caller) must not eagerly allocate k slots per aggregation buffer
+    // — Int.MaxValue would exceed the JVM array limit before a single
+    // row arrived. Occupancy, not capacity, is what k bounds.
+    private var qs = new Array[Double](math.min(k, 16))
+    private var ids = new Array[Long](math.min(k, 16))
     private var n = 0
 
     def size: Int = n
@@ -134,6 +138,11 @@ object BoundedTopKAgg {
 
     def offer(q: Double, id: Long): Unit = {
       if (n < k) {
+        if (n == qs.length) {
+          val cap = math.min(k.toLong, qs.length * 2L).toInt
+          qs = java.util.Arrays.copyOf(qs, cap)
+          ids = java.util.Arrays.copyOf(ids, cap)
+        }
         qs(n) = q; ids(n) = id; n += 1
         siftUp(n - 1)
       } else if (worse(qs(0), ids(0), q, id)) {

@@ -878,7 +878,8 @@ object TextOps {
     *     flagged docs anti-joined away);
     *  3. per-source QUOTA — [[sourceQuota]] with the curation-stage
     *     token count as the quality key (keep the `maxPerSource`
-    *     longest pages per source, ties to the lower id);
+    *     longest pages per source, ties to the lower id; the
+    *     `Int.MaxValue` default means NO quota and skips the stage);
     *  4. deterministic SPLIT — [[splitByHash]] on the doc id (compose
     *     [[splitByHash]] directly on a group key when whole-domain
     *     splitting is required — the near-dup-leakage guard its doc
@@ -925,8 +926,13 @@ object TextOps {
       benchmark, benchText, contamN, minHits)
     val clean = cur.kept.join(contaminated, Seq("doc_id"), "left_anti")
       .join(named.select(col("doc_id"), col("source")), Seq("doc_id"))
-    val quota = sourceQuota(clean, col("doc_id"), col("source"),
-      col("n_tokens"), maxPerSource)
+    // the Int.MaxValue default means "no quota": skip the stage rather
+    // than rank every source's full membership through a top-(2^31)
+    // aggregate
+    val quota =
+      if (maxPerSource == Int.MaxValue) clean
+      else sourceQuota(clean, col("doc_id"), col("source"),
+        col("n_tokens"), maxPerSource)
     val shards = splitByHash(quota, col("doc_id"), fractions)
     val report = shards.groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),

@@ -839,6 +839,13 @@ class AnalysisSpec extends AnyFunSuite {
     // shards carry the curation features (a release is self-describing)
     assert(shards.columns.toSet == Set("doc_id", "lang_pred", "n_tokens",
       "punct_ratio", "source", "split"))
+    // the default (no quota) skips the quota stage instead of ranking
+    // every source through a top-(2^31) aggregate
+    val unq = TextOps.release(docs, col("doc_id"), col("text"), col("source"),
+      bench, col("text"))
+    assert(unq.shards.count() >= shards.count())
+    assert(!unq.shards.queryExecution.executedPlan.toString
+      .contains("bounded_top_k"))
   }
 
   test("dupClusters: transitive chains collapse to min-id components") {
@@ -1211,6 +1218,10 @@ class AnalysisSpec extends AnyFunSuite {
       (3L, null, Some(1L)), (4L, null, Some(2L))).toDF("doc_id", "source", "q")
     assert(TextOps.sourceQuota(withNull, col("doc_id"), col("source"), col("q"), 1)
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // a huge k ("no quota, rank everything") must not eagerly allocate
+    // k heap slots per aggregation buffer — occupancy grows on demand
+    assert(TextOps.sourceQuota(docs, col("doc_id"), col("source"), col("q"),
+      Int.MaxValue).count() == 7)
     // NaN quality is skipped like null (enforced, not just documented:
     // a NaN inside the heap would corrupt every worse() comparison)
     val withNaN = Seq((1L, "a", 1.0), (2L, "a", Double.NaN), (3L, "a", 3.0))
