@@ -918,14 +918,24 @@ object TextOps {
     val cur = curate(named, col("doc_id"), col("text"), lang, minTokens,
       maxPunctRatio, n, m, bands, minJaccard, maxBucket, exactClusters,
       staging, scope, fused)
+    // BARRIER the curate output: it feeds the decontamination semi-join
+    // AND the clean anti-join, and is itself the result of the LSH
+    // near-dup drop — unmaterialized, each downstream reference would
+    // re-execute that banded join (measured ~3x the stage cost)
+    val curated = Staging.materialize(cur.kept, staging, "release_curated", scope)
     // regain text for the kept ids only (column-pruned raw re-scan +
     // 8-byte-id semi-join) — the decontamination input
     val keptDocs = named.select(col("doc_id"), col("text"))
-      .join(cur.kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(curated.select("doc_id"), Seq("doc_id"), "left_semi")
     val contaminated = contaminationHits(keptDocs, col("doc_id"), col("text"),
       benchmark, benchText, contamN, minHits)
-    val clean = cur.kept.join(contaminated, Seq("doc_id"), "left_anti")
-      .join(named.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // BARRIER the decontaminated set: the quota aggregates it AND
+    // semi-joins back against it (two references = two n-gram
+    // decontamination passes without this)
+    val clean = Staging.materialize(
+      curated.join(contaminated, Seq("doc_id"), "left_anti")
+        .join(named.select(col("doc_id"), col("source")), Seq("doc_id")),
+      staging, "release_clean", scope)
     // the Int.MaxValue default means "no quota": skip the stage rather
     // than rank every source's full membership through a top-(2^31)
     // aggregate
