@@ -430,6 +430,37 @@ object SparkEntry {
           min(us(col("ts"))).as("start_us"), max(us(col("ts"))).as("end_us"))
     }),
 
+    "q67_asof_bucketed" -> ((s, d) => {
+      // the hot-key-proof TWO-PHASE as-of form, driver-gated against
+      // the SAME DuckDB native-ASOF oracle as q60 (row-identical by
+      // contract — here the cross-engine hash proves it end-to-end);
+      // 1-hour buckets so carries genuinely cross many buckets
+      import graft.analysis.TimeOps
+      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), us(col("ts")).as("t_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), us(col("ts")).as("t_us"))
+        .agg(max(col("event_id")).as("r_event_id"))
+      TimeOps.asofJoinBucketed(clicks, purchases, "user_id", "t_us",
+          bucketWidth = 3600L * 1000000L)
+        .select(col("event_id"), col("asof.r_event_id").as("r_event_id"))
+    }),
+
+    "q68_sessionize_bucketed" -> ((s, d) => {
+      // the hot-key-proof two-phase sessionization, against q62's
+      // exact DuckDB oracle (1-hour buckets; 30-min gap spans them)
+      import graft.analysis.TimeOps
+      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+      val sess = TimeOps.sessionizeBucketed(t(s, d, "events"),
+        col("user_id"), us(col("ts")), col("event_id"),
+        maxGap = 30L * 60L * 1000000L, bucketWidth = 3600L * 1000000L)
+      sess.groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(us(col("ts"))).as("start_us"), max(us(col("ts"))).as("end_us"))
+    }),
+
     // ---- rows-only entries (not SQL-expressible in DuckDB) ---------------
     "q40_sketch_aggs" -> ((s, d) =>
       // HLL / quantile sketches: algorithms (and thus exact outputs)
@@ -657,7 +688,17 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // the bucketed temporal forms are row-identical to the plain forms
+    // by contract — they face the SAME DuckDB oracles, so the driver's
+    // hash gate proves the two-phase re-plan end-to-end
+    m ++ Map(
+      "q67_asof_bucketed" -> m("q60_asof_join"),
+      "q68_sessionize_bucketed" -> m("q62_sessionize"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_scan_project" ->
       "SELECT p_partkey, p_name, p_size FROM part",
 

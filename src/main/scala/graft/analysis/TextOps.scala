@@ -423,6 +423,26 @@ object TextOps {
     * Same hot-bucket salt + staging/cache barrier semantics as the
     * MinHash path.
     */
+  /** The banded chunk keys of a 64-bit hash: array of (band, bucket)
+    * structs — ONE encoding shared by the batch self-join
+    * ([[bandedHammingPairs]]) and the streaming per-bucket state
+    * (`StreamingExtract.simhashDupStream`/`dhashDupStream`), so the
+    * two surfaces cannot drift. Validates the band arithmetic
+    * (bands=1 would wrap the mask to 0 — one global bucket, a full
+    * quadratic self-join; a non-divisor of 64 would silently leave
+    * the top 64 % bands bits out of every key).
+    */
+  def hammingBandKeys(hash: Column, bands: Int): Column = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(hash, b * width).bitwiseAND(lit(mask))
+          .as("bucket"))): _*)
+  }
+
   def bandedHammingPairs(hashes: DataFrame, id: Column, hash: Column,
       bands: Int = 4, maxHamming: Int = 3, maxBucket: Int = 4096,
       staging: Option[String] = None,
@@ -430,19 +450,9 @@ object TextOps {
       stagingName: String = "hamming_base"): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming vs $bands)")
-    // bands=1 would wrap the band mask to 0 (one global bucket -> a full
-    // quadratic self-join); a non-divisor of 64 would silently leave the
-    // top 64 % bands bits out of every band key
-    require(bands >= 2 && 64 % bands == 0,
-      s"bands must be >= 2 and divide 64, got $bands")
-    val width = 64 / bands
-    val mask = (1L << width) - 1
     val base = Staging.materialize(
       hashes.select(id.as("id"), hash.as("sh"))
-        .withColumn("bk", explode_outer(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))
-              .as("bucket"))): _*)))
+        .withColumn("bk", explode_outer(hammingBandKeys(col("sh"), bands)))
         .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket")),
       staging, stagingName, scope) // lifecycle: see minhashDupPairs / Staging
     val salted =

@@ -163,6 +163,11 @@ object GraftFunctions {
     })
   }
 
+  private def buildDHash(args: Seq[Expression]): Expression = {
+    arity(args, 1, "dhash64")
+    graft.media.DHash64(args.head)
+  }
+
   private def info(cls: Class[_], name: String) =
     new ExpressionInfo(cls.getName, name)
 
@@ -194,7 +199,9 @@ object GraftFunctions {
       buildUrlHost(_)),
     (FunctionIdentifier("bounded_top_k"),
       info(classOf[graft.analysis.BoundedTopKAgg], "bounded_top_k"),
-      buildBoundedTopK(_)))
+      buildBoundedTopK(_)),
+    (FunctionIdentifier("dhash64"),
+      info(classOf[graft.media.DHash64], "dhash64"), buildDHash(_)))
 
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -262,6 +262,134 @@ object StreamingExtract {
       }.toDF("vec_id", "dup_of", "cos")
   }
 
+  /** Streaming banded-Hamming near-dup over the text SimHash — the
+    * continuous twin of `TextOps.simhashDupPairs`: the fused Simhash64
+    * expression and the SAME `TextOps.hammingBandKeys` band encoding
+    * feed per-(band, bucket) custom state holding at most
+    * `maxPerBucket` (doc_id, hash) entries — 16 bytes each, the
+    * cheapest state of any dedup stream here. An arriving doc is
+    * scored by EXACT Hamming distance against its bucket's stored
+    * hashes; the best hit <= `maxHamming` (ties to the lower id)
+    * emits (doc_id, dup_of, hamming) and the doc is not stored IN
+    * THAT BUCKET; a miss is stored if the bucket has room. The batch
+    * path's pigeonhole guarantee carries over PER STORED KEEPER: a
+    * pair within `maxHamming` shares some band, so it is caught
+    * whenever the earlier doc was stored in that shared band's bucket
+    * (the bounded-state and TTL recall caveats are exactly
+    * [[nearDupStream]]'s — see its doc for keeper semantics,
+    * determinism, multi-band duplicate emissions, and the
+    * no-data-micro-batches deployment note).
+    */
+  def simhashDupStream(spark: SparkSession, inDir: String, bands: Int = 4,
+      maxHamming: Int = 3, maxPerBucket: Int = 64,
+      stateTtlMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.analysis.TextOps
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming vs $bands)")
+    val keyed = spark.readStream.schema(textDocsSchema).parquet(inDir)
+      .withColumn("sh", TextOps.simhash(col("text")))
+      .withColumn("bk", explode_outer(TextOps.hammingBandKeys(col("sh"), bands)))
+      .select(col("bk.band"), col("bk.bucket"), col("doc_id"), col("sh"))
+      .as[(Int, Long, Long, Long)]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    keyed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Int)](
+        OutputMode.Append(), timeout) {
+        case (_, rows, state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[(Long, Long, Int)]
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, h) =>
+              if (!seen.exists(_._1 == id)) { // keeper re-ingest: silent drop
+                val best = seen.iterator.map { case (sid, sh) =>
+                  (sid, java.lang.Long.bitCount(h ^ sh))
+                }.filter(_._2 <= maxHamming)
+                  .reduceOption((a, b) =>
+                    if (b._2 < a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+                best match {
+                  case Some((sid, d)) => out += ((id, sid, d))
+                  case None =>
+                    if (seen.size < maxPerBucket) seen = seen :+ ((id, h))
+                }
+              }
+            }
+            state.update(seen)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }.toDF("doc_id", "dup_of", "hamming")
+  }
+
+  /** Asset-table-shaped stream input (media_ref, mime, content). */
+  val assetsSchema: StructType = StructType(Seq(
+    StructField("media_ref", StringType),
+    StructField("mime", StringType),
+    StructField("content", BinaryType)))
+
+  /** Streaming PERCEPTUAL media near-dup — the continuous twin of
+    * `BinaryOps.dhashDupPairs`: pooled-codec 9x8 grayscale frames
+    * (mapPartitions lifts to streams unchanged), the fused DHash64,
+    * the shared `hammingBandKeys` encoding, and the same per-bucket
+    * bounded-Hamming state machine as [[simhashDupStream]], keyed by
+    * "media_ref#frame_idx" strings. A re-encoded or snap-resized copy
+    * arriving in a later micro-batch is flagged against its stored
+    * original (BinaryOpsSpec semantics; StreamingSpec proves it
+    * across batches). State per entry is one (id, 8-byte hash) pair.
+    */
+  def dhashDupStream(spark: SparkSession, inDir: String, maxFrames: Int = 4,
+      bands: Int = 8, maxHamming: Int = 7, maxPerBucket: Int = 64,
+      stateTtlMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.analysis.TextOps
+    import graft.media.{BinaryOps, DHash64}
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming vs $bands)")
+    val assets = spark.readStream.schema(assetsSchema).parquet(inDir)
+      .as[BinaryOps.Asset]
+    val keyed = BinaryOps.sampleGrayFrames(assets, maxFrames).toDF()
+      .select(concat(col("media_ref"), lit("#"), col("frame_idx")).as("id"),
+        DHash64.of(col("gray")).as("sh"))
+      .withColumn("bk", explode_outer(TextOps.hammingBandKeys(col("sh"), bands)))
+      .select(col("bk.band"), col("bk.bucket"), col("id"), col("sh"))
+      .as[(Int, Long, String, Long)]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    keyed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(String, Long)], (String, String, Int)](
+        OutputMode.Append(), timeout) {
+        case (_, rows, state: GroupState[List[(String, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[(String, String, Int)]
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, h) =>
+              if (!seen.exists(_._1 == id)) { // keeper re-ingest: silent drop
+                val best = seen.iterator.map { case (sid, sh) =>
+                  (sid, java.lang.Long.bitCount(h ^ sh))
+                }.filter(_._2 <= maxHamming)
+                  .reduceOption((a, b) =>
+                    if (b._2 < a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+                best match {
+                  case Some((sid, d)) => out += ((id, sid, d))
+                  case None =>
+                    if (seen.size < maxPerBucket) seen = seen :+ ((id, h))
+                }
+              }
+            }
+            state.update(seen)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }.toDF("id", "dup_of", "hamming")
+  }
+
   def nearDupStream(spark: SparkSession, inDir: String, n: Int = 3,
       m: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5,
       maxPerBucket: Int = 64, stateTtlMs: Long = 0L): DataFrame = {

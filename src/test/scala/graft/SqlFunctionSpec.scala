@@ -145,6 +145,29 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("dhash64 is SQL-callable and matches the DataFrame path") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two 9x8 rasters: a gradient (alternating comparisons) and flat
+    val grad = (0 until 72).map(p => (p * 7) % 251)
+    val flat = Seq.fill(72)(128)
+    val df = Seq((1, grad), (2, flat)).toDF("id", "gray")
+    df.createOrReplaceTempView("sql_rasters")
+    val sql = spark.sql("SELECT id, dhash64(gray) AS h FROM sql_rasters")
+      .as[(Int, Long)].collect().toMap
+    val api = df.select(col("id"), graft.media.DHash64.of(col("gray")).as("h"))
+      .as[(Int, Long)].collect().toMap
+    assert(sql == api)
+    assert(sql(2) == 0L, "flat raster has no rising gradients")
+    // wrong-length raster fails fast, not silently
+    val e = intercept[Exception] {
+      spark.sql("SELECT dhash64(array(1, 2, 3))").collect()
+    }
+    assert(e.getMessage.contains("9x8") ||
+      e.getCause != null && e.getCause.getMessage.contains("9x8"))
+  }
+
   test("strip_markup is SQL-callable and matches the DataFrame path") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._

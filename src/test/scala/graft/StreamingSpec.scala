@@ -111,6 +111,81 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming simhash near-dup: copies flagged across micro-batches at exact Hamming") {
+    val dir = Files.createTempDirectory("graft-ssimhash").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    docs.write.parquet(s"$dir/in/b1")
+    val q = StreamingExtract.simhashDupStream(spark, s"$dir/in/*",
+        bands = 4, maxHamming = 3)
+      .writeStream.format("memory").queryName("graft_ssh_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: IDENTICAL-text copies — hamming 0 to their base, so
+      // every copy shares ALL bands with it and MUST flag against the
+      // base or (if the base itself was consumed as someone's dup in a
+      // bucket) against that bucket's stored keeper, which is within
+      // the bound of the base and hence of the copy
+      docs.select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("graft_ssh_out")
+      .as[(Long, Long, Int)].collect().toSeq
+    val copies = out.filter(_._1 >= 2000000)
+    assert(copies.map(_._1).distinct.size == 100,
+      s"flagged ${copies.map(_._1).distinct.size}/100 copies")
+    copies.foreach { case (id, dupOf, d) =>
+      assert(dupOf < 2000000 && d <= 3, s"($id, $dupOf, $d)")
+      // exact-Hamming scoring: a copy flagged against its own base is
+      // an identical text — distance must be exactly 0
+      if (dupOf == id - 2000000) assert(d == 0, s"($id, $dupOf, $d)")
+    }
+    // ... and near-dup (non-identical) arrivals score by true Hamming:
+    // batch-1 organic emissions must agree with the batch operator
+    val batchPairs = graft.analysis.TextOps.simhashDupPairs(docs,
+      col("doc_id"), col("text"), bands = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    out.filter(_._1 < 2000000).foreach { case (id, dupOf, d) =>
+      val k = if (dupOf < id) (dupOf, id) else (id, dupOf)
+      assert(batchPairs.get(k).contains(d),
+        s"organic ($id, $dupOf, $d) not in batch pairs or hamming drift")
+    }
+  }
+
+  test("streaming dhash media near-dup: re-encoded copies flagged across micro-batches") {
+    val dir = Files.createTempDirectory("graft-sdhash").toString
+    import graft.media.BinaryOps
+    val images = BinaryOps.assetsFor(Corpus.generate(spark, 60))
+      .filter(a => a.mime.startsWith("image/"))
+    images.toDF().write.parquet(s"$dir/in/b1")
+    val q = StreamingExtract.dhashDupStream(spark, s"$dir/in/*")
+      .writeStream.format("memory").queryName("graft_sdh_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // no pairs among distinct originals (random 64-bit dhashes do
+      // not land within Hamming 7 of each other at this corpus size)
+      assert(spark.table("graft_sdh_out").count() == 0)
+      // batch 2: low-bit-noise "re-encodes" of every image
+      images.map(a => a.copy(media_ref = a.media_ref + "~n",
+        content = a.content.map(b => (b ^ 1).toByte)))
+        .toDF().write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("graft_sdh_out")
+      .as[(String, String, Int)].collect().toSeq
+    val n = images.count()
+    assert(out.map(_._1).distinct.size == n, s"flagged ${out.size}/$n copies")
+    out.foreach { case (id, dupOf, d) =>
+      assert(id.replace("~n", "") == dupOf && d <= 7, s"($id, $dupOf, $d)")
+    }
+  }
+
   test("streaming embedding near-dup: planted duplicates resolve across micro-batches") {
     val dir = Files.createTempDirectory("graft-svdup").toString
     import spark.implicits._
