@@ -24,6 +24,32 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  private def us(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_micros(c.cast("timestamp"))
+
+  /** The as-of inputs SHARED by q60 (plain) and q67 (bucketed): clicks
+    * as the lookup side, purchases pre-aggregated unique per
+    * (user, time) so the at-equal-time tiebreak is deterministic. One
+    * builder — the q67->q60 shared-oracle premise ("row-identical
+    * forms over identical inputs") must not be maintainable by hand in
+    * two places.
+    */
+  private def asofInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), us(col("ts")).as("t_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), us(col("ts")).as("t_us"))
+      .agg(max(col("event_id")).as("r_event_id"))
+    (clicks, purchases)
+  }
+
+  /** Session volume stats SHARED by q62 (plain) and q68 (bucketed). */
+  private def sessionStats(sess: DataFrame): DataFrame =
+    sess.groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(us(col("ts"))).as("start_us"), max(us(col("ts"))).as("end_us"))
+
   // q52's deterministic HTML wrapping, shared verbatim by the Spark
   // query and the generated DuckDB oracle (entity coverage: named +
   // numeric + hex refs from TextOps.EntityDecodes, incl. the
@@ -376,16 +402,9 @@ object SparkEntry {
       // point-in-time join: every click matched to the user's latest
       // purchase at-or-before it (TimeOps.asofJoin: union + per-key
       // ordered carry-forward, ONE hash shuffle — vs DuckDB's native
-      // ASOF LEFT JOIN). Right side pre-aggregated unique per
-      // (user, time) so the at-equal-time tiebreak is deterministic.
+      // ASOF LEFT JOIN). Inputs shared with q67 (asofInputs).
       import graft.analysis.TimeOps
-      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
-      val ev = t(s, d, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), us(col("ts")).as("t_us"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), us(col("ts")).as("t_us"))
-        .agg(max(col("event_id")).as("r_event_id"))
+      val (clicks, purchases) = asofInputs(s, d)
       TimeOps.asofJoin(clicks, purchases, "user_id", "t_us")
         .select(col("event_id"), col("asof.r_event_id").as("r_event_id"))
     }),
@@ -421,28 +440,19 @@ object SparkEntry {
       // events into sessions (deterministic numbering via event_id
       // tiebreak); session volume stats make the output compact
       import graft.analysis.TimeOps
-      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
-      val sess = TimeOps.sessionize(t(s, d, "events"),
+      sessionStats(TimeOps.sessionize(t(s, d, "events"),
         col("user_id"), us(col("ts")), col("event_id"),
-        maxGap = 30L * 60L * 1000000L)
-      sess.groupBy(col("user_id"), col("session_no"))
-        .agg(count(lit(1)).as("n_events"),
-          min(us(col("ts"))).as("start_us"), max(us(col("ts"))).as("end_us"))
+        maxGap = 30L * 60L * 1000000L))
     }),
 
     "q67_asof_bucketed" -> ((s, d) => {
       // the hot-key-proof TWO-PHASE as-of form, driver-gated against
-      // the SAME DuckDB native-ASOF oracle as q60 (row-identical by
-      // contract — here the cross-engine hash proves it end-to-end);
-      // 1-hour buckets so carries genuinely cross many buckets
+      // the SAME DuckDB native-ASOF oracle as q60 over the SAME
+      // shared inputs (asofInputs — row-identical by contract; here
+      // the cross-engine hash proves it end-to-end); 1-hour buckets
+      // so carries genuinely cross many buckets
       import graft.analysis.TimeOps
-      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
-      val ev = t(s, d, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), us(col("ts")).as("t_us"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), us(col("ts")).as("t_us"))
-        .agg(max(col("event_id")).as("r_event_id"))
+      val (clicks, purchases) = asofInputs(s, d)
       TimeOps.asofJoinBucketed(clicks, purchases, "user_id", "t_us",
           bucketWidth = 3600L * 1000000L)
         .select(col("event_id"), col("asof.r_event_id").as("r_event_id"))
@@ -450,15 +460,12 @@ object SparkEntry {
 
     "q68_sessionize_bucketed" -> ((s, d) => {
       // the hot-key-proof two-phase sessionization, against q62's
-      // exact DuckDB oracle (1-hour buckets; 30-min gap spans them)
+      // exact DuckDB oracle over the SAME sessionStats wrapper
+      // (1-hour buckets; 30-min gap spans them)
       import graft.analysis.TimeOps
-      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
-      val sess = TimeOps.sessionizeBucketed(t(s, d, "events"),
+      sessionStats(TimeOps.sessionizeBucketed(t(s, d, "events"),
         col("user_id"), us(col("ts")), col("event_id"),
-        maxGap = 30L * 60L * 1000000L, bucketWidth = 3600L * 1000000L)
-      sess.groupBy(col("user_id"), col("session_no"))
-        .agg(count(lit(1)).as("n_events"),
-          min(us(col("ts"))).as("start_us"), max(us(col("ts"))).as("end_us"))
+        maxGap = 30L * 60L * 1000000L, bucketWidth = 3600L * 1000000L))
     }),
 
     // ---- rows-only entries (not SQL-expressible in DuckDB) ---------------

@@ -411,18 +411,6 @@ object TextOps {
       col("id"), col("sh"), bands, maxHamming, maxBucket, staging, scope,
       stagingName = "simhash_base")
 
-  /** The banded-Hamming self-join behind [[simhashDupPairs]], exposed
-    * for ANY 64-bit locality-sensitive hash column — text simhash,
-    * media dHash ([[graft.media.BinaryOps.dhashDupPairs]]), audio
-    * chromaprint-style hashes: band the hash into `bands` chunks; rows
-    * sharing ANY chunk are candidates (pigeonhole: a pair at Hamming
-    * distance <= bands-1 MUST agree on some band, so recall is 1.0 for
-    * maxHamming < bands — deterministic, unlike probabilistic LSH);
-    * exact-Hamming rerank once per deduped pair. Ids may be any
-    * orderable type (longs for docs, "ref#frame" strings for media).
-    * Same hot-bucket salt + staging/cache barrier semantics as the
-    * MinHash path.
-    */
   /** The banded chunk keys of a 64-bit hash: array of (band, bucket)
     * structs — ONE encoding shared by the batch self-join
     * ([[bandedHammingPairs]]) and the streaming per-bucket state
@@ -443,6 +431,18 @@ object TextOps {
           .as("bucket"))): _*)
   }
 
+  /** The banded-Hamming self-join behind [[simhashDupPairs]], exposed
+    * for ANY 64-bit locality-sensitive hash column — text simhash,
+    * media dHash ([[graft.media.BinaryOps.dhashDupPairs]]), audio
+    * chromaprint-style hashes: band the hash into `bands` chunks; rows
+    * sharing ANY chunk are candidates (pigeonhole: a pair at Hamming
+    * distance <= bands-1 MUST agree on some band, so recall is 1.0 for
+    * maxHamming < bands — deterministic, unlike probabilistic LSH);
+    * exact-Hamming rerank once per deduped pair. Ids may be any
+    * orderable type (longs for docs, "ref#frame" strings for media).
+    * Same hot-bucket salt + staging/cache barrier semantics as the
+    * MinHash path.
+    */
   def bandedHammingPairs(hashes: DataFrame, id: Column, hash: Column,
       bands: Int = 4, maxHamming: Int = 3, maxBucket: Int = 4096,
       staging: Option[String] = None,
@@ -937,8 +937,13 @@ object TextOps {
     // 8-byte-id semi-join) — the decontamination input
     val keptDocs = named.select(col("doc_id"), col("text"))
       .join(curated.select("doc_id"), Seq("doc_id"), "left_semi")
-    val contaminated = contaminationHits(keptDocs, col("doc_id"), col("text"),
-      benchmark, benchText, contamN, minHits)
+    // BARRIER the (tiny) contamination flags: the clean anti-join AND
+    // the returned `contaminated` frame both consume them — without
+    // this, reading both re-runs the heavy n-gram corpus scan twice
+    val contaminated = Staging.materialize(
+      contaminationHits(keptDocs, col("doc_id"), col("text"),
+        benchmark, benchText, contamN, minHits),
+      staging, "release_contaminated", scope)
     // BARRIER the decontaminated set: the quota aggregates it AND
     // semi-joins back against it (two references = two n-gram
     // decontamination passes without this)

@@ -215,6 +215,10 @@ object StreamingExtract {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.analysis.SignBuckets
     val keyed = spark.readStream.schema(schema).parquet(inDir)
+      // null id/vector rows drop up front: decoded into a non-nullable
+      // tuple they would kill the whole continuous query (the batch
+      // twin's join drops them harmlessly)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .withColumn("embedding", col("embedding").cast("array<double>"))
       .withColumn("bk", explode_outer(SignBuckets.of(col("embedding"), nPlanes, tables)))
       .select(col("bk.table"), col("bk.bucket"), col("vec_id"), col("embedding"))
@@ -284,33 +288,59 @@ object StreamingExtract {
       maxHamming: Int = 3, maxPerBucket: Int = 64,
       stateTtlMs: Long = 0L): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.analysis.TextOps
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming vs $bands)")
+    // null text/id rows drop up front, like the batch twin's equi-join
+    // drops them — decoded into a non-nullable tuple they would
+    // otherwise kill the whole continuous query on one dirty record
     val keyed = spark.readStream.schema(textDocsSchema).parquet(inDir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .withColumn("sh", TextOps.simhash(col("text")))
       .withColumn("bk", explode_outer(TextOps.hammingBandKeys(col("sh"), bands)))
       .select(col("bk.band"), col("bk.bucket"), col("doc_id"), col("sh"))
       .as[(Int, Long, Long, Long)]
+    hammingDedupState[Long](keyed, maxHamming, maxPerBucket, stateTtlMs)
+      .toDF("doc_id", "dup_of", "hamming")
+  }
+
+  /** The bounded-bucket exact-Hamming state machine shared by
+    * [[simhashDupStream]] (long doc ids) and [[dhashDupStream]]
+    * (string frame ids) — ONE implementation so keeper / tiebreak /
+    * TTL semantics cannot drift between the text and media surfaces
+    * (the same reason `hammingBandKeys` is shared with the batch
+    * join). Generic over the id type: needs its Encoder (for state
+    * and output rows) and Ordering (within-micro-batch determinism
+    * and the lower-id tiebreak).
+    */
+  private def hammingDedupState[I](
+      keyed: org.apache.spark.sql.Dataset[(Int, Long, I, Long)],
+      maxHamming: Int, maxPerBucket: Int, stateTtlMs: Long)(
+      implicit ord: Ordering[I],
+      stateEnc: org.apache.spark.sql.Encoder[List[(I, Long)]],
+      outEnc: org.apache.spark.sql.Encoder[(I, I, Int)],
+      keyEnc: org.apache.spark.sql.Encoder[(Int, Long)])
+      : org.apache.spark.sql.Dataset[(I, I, Int)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val timeout =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     keyed.groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Int)](
+      .flatMapGroupsWithState[List[(I, Long)], (I, I, Int)](
         OutputMode.Append(), timeout) {
-        case (_, rows, state: GroupState[List[(Long, Long)]]) =>
+        case (_, rows, state: GroupState[List[(I, Long)]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var seen = state.getOption.getOrElse(Nil)
-            val out = List.newBuilder[(Long, Long, Int)]
+            val out = List.newBuilder[(I, I, Int)]
             rows.toSeq.sortBy(_._3).foreach { case (_, _, id, h) =>
               if (!seen.exists(_._1 == id)) { // keeper re-ingest: silent drop
                 val best = seen.iterator.map { case (sid, sh) =>
                   (sid, java.lang.Long.bitCount(h ^ sh))
                 }.filter(_._2 <= maxHamming)
                   .reduceOption((a, b) =>
-                    if (b._2 < a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+                    if (b._2 < a._2 || (b._2 == a._2 && ord.lt(b._1, a._1))) b
+                    else a)
                 best match {
                   case Some((sid, d)) => out += ((id, sid, d))
                   case None =>
@@ -322,7 +352,7 @@ object StreamingExtract {
             if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             out.result().iterator
           }
-      }.toDF("doc_id", "dup_of", "hamming")
+      }
   }
 
   /** Asset-table-shaped stream input (media_ref, mime, content). */
@@ -345,12 +375,15 @@ object StreamingExtract {
       bands: Int = 8, maxHamming: Int = 7, maxPerBucket: Int = 64,
       stateTtlMs: Long = 0L): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.analysis.TextOps
     import graft.media.{BinaryOps, DHash64}
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming vs $bands)")
+    // null ref/payload rows drop up front (see simhashDupStream: a
+    // dirty record must not kill the continuous query; a null payload
+    // would also NPE inside the codec)
     val assets = spark.readStream.schema(assetsSchema).parquet(inDir)
+      .filter(col("media_ref").isNotNull && col("content").isNotNull)
       .as[BinaryOps.Asset]
     val keyed = BinaryOps.sampleGrayFrames(assets, maxFrames).toDF()
       .select(concat(col("media_ref"), lit("#"), col("frame_idx")).as("id"),
@@ -358,36 +391,8 @@ object StreamingExtract {
       .withColumn("bk", explode_outer(TextOps.hammingBandKeys(col("sh"), bands)))
       .select(col("bk.band"), col("bk.bucket"), col("id"), col("sh"))
       .as[(Int, Long, String, Long)]
-    val timeout =
-      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
-    keyed.groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[List[(String, Long)], (String, String, Int)](
-        OutputMode.Append(), timeout) {
-        case (_, rows, state: GroupState[List[(String, Long)]]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            var seen = state.getOption.getOrElse(Nil)
-            val out = List.newBuilder[(String, String, Int)]
-            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, h) =>
-              if (!seen.exists(_._1 == id)) { // keeper re-ingest: silent drop
-                val best = seen.iterator.map { case (sid, sh) =>
-                  (sid, java.lang.Long.bitCount(h ^ sh))
-                }.filter(_._2 <= maxHamming)
-                  .reduceOption((a, b) =>
-                    if (b._2 < a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
-                best match {
-                  case Some((sid, d)) => out += ((id, sid, d))
-                  case None =>
-                    if (seen.size < maxPerBucket) seen = seen :+ ((id, h))
-                }
-              }
-            }
-            state.update(seen)
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
-            out.result().iterator
-          }
-      }.toDF("id", "dup_of", "hamming")
+    hammingDedupState[String](keyed, maxHamming, maxPerBucket, stateTtlMs)
+      .toDF("id", "dup_of", "hamming")
   }
 
   def nearDupStream(spark: SparkSession, inDir: String, n: Int = 3,
@@ -397,6 +402,9 @@ object StreamingExtract {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.analysis.{MinhashSignature, ShingleHashes, TextOps}
     val keyed = spark.readStream.schema(textDocsSchema).parquet(inDir)
+      // null rows drop like the batch twin's join drops them (see
+      // simhashDupStream — one dirty record must not kill the query)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .withColumn("hs", ShingleHashes.of(TextOps.tokens(col("text")), n))
       .withColumn("sig", MinhashSignature.of(col("hs"), m))
       .withColumn("bk", explode_outer(TextOps.lshBandKeys(col("sig"), m, bands)))
