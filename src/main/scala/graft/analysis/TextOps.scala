@@ -890,10 +890,11 @@ object TextOps {
     *     token count as the quality key (keep the `maxPerSource`
     *     longest pages per source, ties to the lower id; the
     *     `Int.MaxValue` default means NO quota and skips the stage);
-    *  4. deterministic SPLIT — [[splitByHash]] on the doc id (compose
-    *     [[splitByHash]] directly on a group key when whole-domain
-    *     splitting is required — the near-dup-leakage guard its doc
-    *     describes).
+    *  4. deterministic SPLIT — [[splitByHash]] on `splitOn`: the doc
+    *     id by default, or "source" for whole-domain splitting (every
+    *     page of a domain lands in ONE band — the near-dup-leakage
+    *     guard [[splitByHash]] documents; fractions are then over
+    *     domains, not docs).
     *
     * Scale shape: every inter-stage join is an 8-byte-id semi/anti/
     * equi join against frames the stages already bounded (kept ids,
@@ -920,10 +921,13 @@ object TextOps {
       maxPerSource: Int = Int.MaxValue,
       fractions: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      splitOn: String = "doc_id",
       exactClusters: Boolean = false,
       staging: Option[String] = None,
       scope: CacheScope = CacheScope.unmanaged,
       fused: Boolean = true): ReleaseResult = {
+    require(splitOn == "doc_id" || splitOn == "source",
+      s"splitOn must be 'doc_id' or 'source', got '$splitOn'")
     val named = docs.select(id.as("doc_id"), text.as("text"), source.as("source"))
     val cur = curate(named, col("doc_id"), col("text"), lang, minTokens,
       maxPunctRatio, n, m, bands, minJaccard, maxBucket, exactClusters,
@@ -958,7 +962,7 @@ object TextOps {
       if (maxPerSource == Int.MaxValue) clean
       else sourceQuota(clean, col("doc_id"), col("source"),
         col("n_tokens"), maxPerSource)
-    val shards = splitByHash(quota, col("doc_id"), fractions)
+    val shards = splitByHash(quota, col(splitOn), fractions)
     val report = shards.groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("total_tokens"))

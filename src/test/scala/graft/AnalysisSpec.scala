@@ -846,6 +846,18 @@ class AnalysisSpec extends AnyFunSuite {
     assert(unq.shards.count() >= shards.count())
     assert(!unq.shards.queryExecution.executedPlan.toString
       .contains("bounded_top_k"))
+    // splitOn = "source": whole-domain splitting — no source straddles
+    // two bands (the near-dup-leakage guard)
+    val bySrc = TextOps.release(docs, col("doc_id"), col("text"),
+        col("source"), bench, col("text"), maxPerSource = 3,
+        splitOn = "source").shards
+      .groupBy("source").agg(countDistinct(col("split")).as("n"))
+      .agg(max("n")).as[Long].head()
+    assert(bySrc == 1L)
+    assertThrows[IllegalArgumentException] {
+      TextOps.release(docs, col("doc_id"), col("text"), col("source"),
+        bench, col("text"), splitOn = "lang_pred")
+    }
   }
 
   test("dupClusters: transitive chains collapse to min-id components") {
