@@ -428,6 +428,22 @@ object SparkEntry {
         .select(col("p_event_id"), col("i_event_id"))
     }),
 
+    "q69_split_leakage" -> ((s, d) => {
+      // cross-split near-dup leakage audit: the organic minhash pairs
+      // of the base corpus joined onto the q63 doc-id split — pairs
+      // straddling bands are exactly what domain-keyed splitting
+      // prevents. Oracle is a pure SQL join of two independently-
+      // mirrored fixtures (the q25 pair set restricted to base ids ==
+      // the base-only pair set: extra docs add buckets, never remove
+      // a base pair's shared band, and the Jaccard rerank is per-pair)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      TextOps.splitLeakage(
+        TextOps.splitByHash(docs, col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
+        TextOps.minhashDupPairs(docs, col("doc_id"), col("text"),
+          n = 3, m = 16, bands = 4, minJaccard = 0.5))
+    }),
+
     "q63_hash_split" -> ((s, d) =>
       // deterministic 90/5/5 split on xxhash64(doc_id) — stable across
       // runs/partitionings; hash-checked vs the Python XXH64 mirror
@@ -1166,6 +1182,16 @@ object SparkEntry {
     // greedy-applies it (gen_hash_expected.py)
     "q65_bpe_tokens" ->
       ("SELECT doc_id, n_bpe " +
-        "FROM read_parquet('/root/repo/fixtures/expected_bpe.parquet')")
+        "FROM read_parquet('/root/repo/fixtures/expected_bpe.parquet')"),
+
+    // leakage audit: a pure SQL join of two independently-mirrored
+    // fixtures (q25's pair set restricted to base ids is the base-only
+    // pair set; q63's split covers exactly the base ids)
+    "q69_split_leakage" ->
+      ("SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b " +
+        "FROM read_parquet('/root/repo/fixtures/expected_minhash_pairs.parquet') p " +
+        "JOIN read_parquet('/root/repo/fixtures/expected_split.parquet') a ON p.id_a = a.doc_id " +
+        "JOIN read_parquet('/root/repo/fixtures/expected_split.parquet') b ON p.id_b = b.doc_id " +
+        "WHERE p.id_b < 1000000 AND a.split <> b.split")
   )
 }

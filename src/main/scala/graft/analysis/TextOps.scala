@@ -631,6 +631,29 @@ object TextOps {
     docs.withColumn("split", assign)
   }
 
+  /** Cross-split near-dup LEAKAGE audit — the validation every release
+    * should run on its split assignment: a near-dup pair whose members
+    * landed in DIFFERENT train/val/test bands leaks training signal
+    * into evaluation (the failure mode group-keyed [[splitByHash]]
+    * exists to prevent). Joins a (doc_id, split) assignment onto both
+    * sides of a near-dup pair set and keeps the crossers — two
+    * broadcast/AQE-friendly equi-joins on 8-byte ids (the pair set is
+    * tiny relative to the corpus by construction). Returns (id_a,
+    * id_b, split_a, split_b); empty = the assignment is leak-free
+    * w.r.t. the supplied pairs. Run it with the SAME pair generation
+    * the dedup used ([[minhashDupPairs]] / [[dupClusters]] members) —
+    * the audit can only see the pairs it is given (no-silent-caps:
+    * that contract is the caller's, this is its checker).
+    */
+  def splitLeakage(shards: DataFrame, pairs: DataFrame): DataFrame = {
+    val a = shards.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val b = shards.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+  }
+
   // ---- benchmark decontamination --------------------------------------
   /** Benchmark contamination check — the decontamination pass every
     * serious pre-training pipeline runs before a corpus ships: flag
@@ -910,7 +933,9 @@ object TextOps {
     * and hot-bucket audit, the contamination flags, and `report` — the
     * per-(source, split) doc/token volumes a release publishes
     * (exact sums only, so the whole pipeline is oracle-checkable:
-    * q64 vs the independent Python mirror).
+    * q64 vs the independent Python mirror). Validate the assignment
+    * with `splitLeakage(result.shards, result.nearPairs)` — empty
+    * means no near-dup pair straddles train and eval (q69).
     */
   def release(docs: DataFrame, id: Column, text: Column, source: Column,
       benchmark: DataFrame, benchText: Column,

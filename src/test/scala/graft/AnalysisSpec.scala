@@ -860,6 +860,43 @@ class AnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("splitLeakage: doc-keyed splits leak near pairs; group-keyed splits don't") {
+    // near-dup pairs WITHIN sources (same-source copies)
+    val base = documents.select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") < 100)
+    val dups = base.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"), col("source"))
+    val all = base.unionByName(dups)
+    val pairs = TextOps.minhashDupPairs(all, col("doc_id"), col("text"),
+      minJaccard = 0.8)
+    val fracs = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    // doc-id splitting puts a pair's two members in independent bands:
+    // with these fractions most pairs straddle — leakage is non-empty
+    val docSplit = TextOps.splitByHash(all, col("doc_id"), fracs)
+    val leaked = TextOps.splitLeakage(docSplit, pairs)
+    assert(leaked.count() > 0, "expected doc-keyed leakage (vacuous test)")
+    leaked.as[(Long, Long, String, String)].collect().foreach {
+      case (_, _, sa, sb) => assert(sa != sb)
+    }
+    // source-keyed splitting keeps same-source pairs in one band — the
+    // leak guard's exact promise: any pair the audit still reports
+    // must be CROSS-source (the corpus has organic near-dups across
+    // sources; a group key can only protect within its groups)
+    val srcSplit = TextOps.splitByHash(all, col("source"), fracs)
+    val srcOf = all.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val leakedSrc = TextOps.splitLeakage(srcSplit, pairs)
+      .as[(Long, Long, String, String)].collect()
+    leakedSrc.foreach { case (a, b, _, _) =>
+      assert(srcOf(a) != srcOf(b),
+        s"same-source pair ($a, $b) leaked under source-keyed split")
+    }
+    // ... and the planted same-source copies never leak
+    assert(!leakedSrc.exists { case (a, b, _, _) =>
+      math.abs(a - b) == 100000L
+    })
+  }
+
   test("dupClusters: transitive chains collapse to min-id components") {
     // the case the greedy per-pair drop gets wrong: (1,3),(2,3) is ONE
     // component {1,2,3} (keeper 1), while greedy would keep {1,2}
