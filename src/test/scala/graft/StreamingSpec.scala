@@ -186,6 +186,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming hamming-dedup TTL: idle buckets evict, then re-learn (shared machine)") {
+    // exercises the hasTimedOut branch of hammingDedupState — the ONE
+    // state machine behind both simhashDupStream and dhashDupStream
+    val dir = Files.createTempDirectory("graft-shttl").toString
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") === 0).cache()
+    val baseText = base.select("text").as[String].head()
+    base.write.parquet(s"$dir/in/b1")
+    // see the near-dup TTL test above for the no-data-micro-batches
+    // rationale (timeouts fire on the next DATA batch, deterministic)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = StreamingExtract.simhashDupStream(spark, s"$dir/in/*",
+        stateTtlMs = 8000L)
+      .writeStream.format("memory").queryName("graft_shttl_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(20000) // idle far past the TTL (steal-burst headroom)
+      // unrelated traffic fires the expired timeouts -> doc 0 evicted
+      Seq((777L, "completely unrelated filler words about gardens rivers " +
+        "mountains clouds pebbles lanterns harvest meadows"))
+        .toDF("doc_id", "text").write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+      // an identical copy of the EVICTED keeper: re-learned fresh
+      Seq((1000L, baseText)).toDF("doc_id", "text")
+        .write.parquet(s"$dir/in/b3")
+      q.processAllAvailable()
+      // a second copy resolves against the re-learned keeper
+      Seq((2000L, baseText)).toDF("doc_id", "text")
+        .write.parquet(s"$dir/in/b4")
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+    val pairs = spark.table("graft_shttl_out")
+      .as[(Long, Long, Int)].collect().toSeq
+    // eviction: the batch-3 copy found an empty bucket (no emission
+    // against doc 0); re-learn: the batch-4 copy flags against it at
+    // hamming 0
+    assert(!pairs.exists(_._1 == 1000L),
+      s"evicted keeper still matched: $pairs")
+    assert(pairs.exists(p => p._1 == 2000L && p._2 == 1000L && p._3 == 0),
+      s"re-learned keeper not detected: $pairs")
+  }
+
   test("streaming embedding near-dup: planted duplicates resolve across micro-batches") {
     val dir = Files.createTempDirectory("graft-svdup").toString
     import spark.implicits._
