@@ -103,6 +103,15 @@ def minhash_pairs(docs, min_jaccard=0.5):
     for i in docs:
         for key in band_keys(minhash_sig(hs[i])):
             buckets.setdefault(key, []).append(i)
+    # q69 oracle precondition: its restriction argument ("the q25 pair
+    # set restricted to base ids == the base-only pair set") holds only
+    # while Buckets.saltOversized never fires — i.e. no (band, bucket)
+    # exceeds the Spark side's maxBucket default in ANY mirrored corpus.
+    # Fail the generation loudly if a corpus change ever breaks that.
+    oversized = {k: len(v) for k, v in buckets.items() if len(v) > 4096}
+    assert not oversized, (
+        "minhash bucket(s) exceed maxBucket=4096 — the q69 restriction "
+        f"oracle is no longer valid: {oversized}")
     pairs = set()
     for members in buckets.values():
         members.sort()

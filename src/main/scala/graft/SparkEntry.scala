@@ -435,7 +435,13 @@ object SparkEntry {
       // prevents. Oracle is a pure SQL join of two independently-
       // mirrored fixtures (the q25 pair set restricted to base ids ==
       // the base-only pair set: extra docs add buckets, never remove
-      // a base pair's shared band, and the Jaccard rerank is per-pair)
+      // a base pair's shared band, and the Jaccard rerank is per-pair.
+      // PRECONDITION: holds only while no (band, bucket) exceeds
+      // maxBucket in EITHER corpus — Buckets.saltOversized could split
+      // a hot bucket in the larger q25 corpus and sever a base pair the
+      // base-only run would emit; gen_hash_expected.py asserts both
+      // corpora are salt-free so a corpus change cannot silently
+      // invalidate this oracle)
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       TextOps.splitLeakage(
         TextOps.splitByHash(docs, col("doc_id"),

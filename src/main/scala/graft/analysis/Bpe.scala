@@ -26,9 +26,9 @@ import org.apache.spark.sql.types._
   * character is one token (the same symbol rule as
   * `bpeishTokenCount`). Symbols are Unicode CODE POINTS (not UTF-16
   * chars), so astral-plane text counts like the Python mirror; the
-  * lexicographic tiebreaks compare by code point via Java string
-  * order, identical for the BMP text this corpus contains (the
-  * documented contract).
+  * lexicographic tiebreaks also compare by CODE POINT ([[cpLess]]),
+  * so training agrees with the mirror on astral symbols too (a
+  * property test pins it against Python's string order).
   *
   * Scale shape: TRAINING is the standard offline step — one
   * distributed word-type count (partial-agg on the word, the
@@ -103,6 +103,22 @@ object Bpe {
     out
   }
 
+  /** a < b in CODE-POINT order (== Python's str compare), not UTF-16
+    * code-unit order: the two differ exactly when one side starts a
+    * supplementary (astral) code point — a surrogate code unit
+    * (0xD800-0xDFFF) — where the other holds a BMP char above it.
+    */
+  private[graft] def cpLess(a: String, b: String): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+    }
+    a.length < b.length
+  }
+
   /** Merge every non-overlapping (l, r) occurrence, left to right. */
   private[analysis] def mergeAll(syms: Array[String], l: String,
       r: String): Array[String] = {
@@ -121,9 +137,12 @@ object Bpe {
     * pair" (pair counts weighted by word frequency, occurrences
     * counted left-to-right non-overlapping so counting and merging
     * agree on runs like "aaa"), ties to the code-point-lexicographic
-    * smallest (left, then right) — every choice deterministic, because
-    * the Python mirror re-derives the identical merge list. Stops
-    * early when no pair repeats.
+    * smallest (left, then right), compared by CODE POINT ([[cpLess]])
+    * — plain Java string order would sort surrogate pairs (astral
+    * symbols) below U+E000..U+FFFF, diverging from the Python
+    * mirror's tuple compare — so every choice is deterministic AND
+    * engine-agreed for the full Unicode range. Stops early when no
+    * pair repeats.
     */
   def trainFromCounts(wordCounts: Seq[(String, Long)], nMerges: Int): Vocab = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
@@ -149,7 +168,8 @@ object Bpe {
       var bestN = 1L // a pair must repeat to earn a merge
       counts.forEach { (p, n) =>
         if (n > bestN || (n == bestN && best != null &&
-          (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          (cpLess(p._1, best._1) ||
+            (p._1 == best._1 && cpLess(p._2, best._2))))) {
           best = p; bestN = n
         }
       }

@@ -217,7 +217,8 @@ object TextOps {
     * what DuckDB's unnest(string_split(NULL)) does); the explode is
     * then the _outer form so InferFiltersFromGenerate cannot push an
     * inferred size()>0 filter that re-inlines the text expression per
-    * row (the CLAUDE.md trap — `text` may be a whole stripMarkup
+    * row (the InferFiltersFromGenerate re-inlining trap, see
+    * Pipeline.extractRows — `text` may be a whole stripMarkup
     * chain). For non-null text, split never yields null or an empty
     * array, so outer == inner output.
     */
@@ -646,6 +647,17 @@ object TextOps {
     * that contract is the caller's, this is its checker).
     */
   def splitLeakage(shards: DataFrame, pairs: DataFrame): DataFrame = {
+    // fail fast with a clear message instead of an opaque unresolved-
+    // column error (or, worse, silently resolving an unrelated column):
+    // this operator consumes [[release]]/[[splitByHash]] output by
+    // (doc_id, split) name and a pair frame by (id_a, id_b) name
+    require(shards.columns.contains("doc_id") && shards.columns.contains("split"),
+      s"splitLeakage needs (doc_id, split) columns in the shards frame " +
+        s"(got ${shards.columns.mkString(", ")}) — the [[splitByHash]]/" +
+        "[[release]] output shape; select/rename before calling")
+    require(pairs.columns.contains("id_a") && pairs.columns.contains("id_b"),
+      s"splitLeakage needs (id_a, id_b) columns in the pairs frame " +
+        s"(got ${pairs.columns.mkString(", ")}) — the near-dup pair shape")
     val a = shards.select(col("doc_id").as("id_a"), col("split").as("split_a"))
     val b = shards.select(col("doc_id").as("id_b"), col("split").as("split_b"))
     pairs.select(col("id_a"), col("id_b"))

@@ -331,6 +331,15 @@ object StreamingExtract {
         case (_, rows, state: GroupState[List[(I, Long)]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            // state shape: a List scanned linearly per arriving row
+            // (membership + best-match) and rebuilt with :+ — O(n) per
+            // row, deliberately so: n is capped at maxPerBucket (64 by
+            // default) where a list of 8-byte pairs beats any keyed
+            // structure on constant factors. A caller raising
+            // maxPerBucket into the thousands should switch `seen` to
+            // a LinkedHashMap keyed by id (the Hamming scan itself is
+            // irreducibly O(n) — banding, not the container, is what
+            // keeps buckets small).
             var seen = state.getOption.getOrElse(Nil)
             val out = List.newBuilder[(I, I, Int)]
             rows.toSeq.sortBy(_._3).foreach { case (_, _, id, h) =>

@@ -807,6 +807,42 @@ class AnalysisSpec extends AnyFunSuite {
     assert(dv.merges == v.merges, s"got ${dv.merges}")
   }
 
+  test("BPE: tiebreaks are code-point-ordered (astral symbols included)") {
+    import graft.analysis.Bpe
+    // U+1F600 (astral, UTF-16 "😀") vs U+E000 (BMP private
+    // use): Java string order sorts the surrogate pair FIRST
+    // (0xD83D < 0xE000), code-point order sorts it LAST
+    // (0x1F600 > 0xE000) — exactly the divergence the Python mirror's
+    // tuple compare would expose. The tie on count=3 must go to U+E000.
+    val astral = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    assert(astral < pua, "vacuous: Java order must disagree here")
+    assert(Bpe.cpLess(pua, astral) && !Bpe.cpLess(astral, pua))
+    val v = Bpe.trainFromCounts(Seq(astral + "a" -> 3L, pua + "a" -> 3L), 1)
+    assert(v.merges == Seq(pua -> "a"), s"got ${v.merges}")
+    // property: cpLess == lexicographic compare of code-point arrays
+    // (Python str order, definitionally) over random mixed strings
+    val rnd = new scala.util.Random(7)
+    val alphabet = Seq("a", "z", "\u00e9", "\uE000", "\uFFFD", astral,
+      new String(Character.toChars(0x10FFFF)))
+    def randStr() =
+      (0 until rnd.nextInt(4)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString
+    def cpOrder(a: String, b: String): Boolean = {
+      val (ca, cb) = (a.codePoints.toArray, b.codePoints.toArray)
+      val n = math.min(ca.length, cb.length)
+      var i = 0
+      while (i < n && ca(i) == cb(i)) i += 1
+      if (i < n) ca(i) < cb(i) else ca.length < cb.length
+    }
+    (0 until 2000).foreach { _ =>
+      val (a, b) = (randStr(), randStr())
+      assert(Bpe.cpLess(a, b) == cpOrder(a, b),
+        s"cpLess disagrees on ${a.codePoints.toArray.toSeq} vs " +
+          s"${b.codePoints.toArray.toSeq}")
+    }
+  }
+
   test("release: curate -> decontaminate -> quota -> split composes end-to-end") {
     val docs = documents.select(col("doc_id"), col("text"), col("source"))
     val bench = docs.filter(col("doc_id") < 5).select(col("text"))
