@@ -303,6 +303,16 @@ object SparkEntry {
         minDocs = 100L, asDocs = true)
     }),
 
+    "q70_budget_quota" -> ((s, d) =>
+      // per-source TOKEN-BUDGET quota (keep each source's best docs
+      // while their running weight total stays within the budget):
+      // BoundedBudgetTop prefix+barrier partial-agg keeper + semi-join
+      // — the greedy prefix rule is a window cumsum in SQL, so fully
+      // oracled
+      TextOps.sourceQuotaBudget(t(s, d, "documents"), col("doc_id"),
+          col("source"), col("n_chars"), col("n_chars"), budget = 5000.0)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     "q54_source_quota" -> ((s, d) =>
       // per-source quota (keep the N best docs per domain by a quality
       // key): BoundedTopK partial-agg keeper + semi-join — the exact
@@ -960,6 +970,16 @@ object SparkEntry {
         "freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1) " +
         "SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.line_no) AS text " +
         "FROM lines l JOIN freq f USING (line) WHERE f.n_docs < 100 GROUP BY 1"),
+
+    // the greedy budget-prefix rule, as the window cumsum it is
+    // definitionally equal to (weight > 0 mirrors the operator's
+    // skip rule; vacuous on this table, stated for fidelity)
+    "q70_budget_quota" ->
+      ("SELECT doc_id, source, n_chars FROM (" +
+        "SELECT doc_id, source, n_chars, sum(n_chars) OVER (" +
+        "PARTITION BY source ORDER BY n_chars DESC, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM documents WHERE n_chars > 0) WHERE cum <= 5000"),
 
     "q54_source_quota" ->
       ("SELECT doc_id, source, n_chars FROM (" +

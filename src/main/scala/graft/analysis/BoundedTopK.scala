@@ -193,6 +193,256 @@ object BoundedTopKAgg {
   }
 }
 
+/** Weight-BUDGET top aggregate: per group, the ids of the best rows by
+  * (quality desc, id asc) whose RUNNING weight total stays within
+  * `budget` — the "keep docs per source until a token budget" quota
+  * real release pipelines apply when sources are balanced by volume,
+  * not document count. The keeper rule is the greedy prefix:
+  * a row is kept iff `sum(weight) OVER (ORDER BY quality DESC, id
+  * ROWS UNBOUNDED PRECEDING) <= budget` — exactly window-expressible,
+  * so the whole operator is SQL-oracle-checkable, but never planned as
+  * a window (same scale argument as [[BoundedTopKAgg]]).
+  *
+  * The state bound: because weights are strictly positive, the running
+  * total is monotone in rank, so the kept set is a PREFIX of the
+  * ranking and the buffer holds exactly that prefix — capped by
+  * budget/min(weight) entries in `update` AND `merge`. Pruning is
+  * safe under merge: a row evicted from (or rejected by) a partial
+  * buffer has prefix-weight > budget over a SUBSET of the group's
+  * rows, and more rows only grow that prefix — it can never re-enter.
+  *
+  * Rows with null/NaN quality, null id, or null/NaN/non-positive
+  * weight are skipped (a zero-weight row would make the prefix — and
+  * the state — unbounded; the SQL-oracle equivalent is a
+  * `weight > 0` predicate).
+  */
+case class BoundedBudgetTopAgg(
+    quality: Expression,
+    id: Expression,
+    weight: Expression,
+    budget: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedBudgetTopAgg.Prefix]
+  with ImplicitCastInputTypes {
+
+  require(budget > 0 && !budget.isNaN,
+    s"bounded budget top needs budget > 0, got $budget")
+
+  override def children: Seq[Expression] = Seq(quality, id, weight)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, LongType, DoubleType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bounded_budget_top"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(quality = newChildren(0), id = newChildren(1),
+      weight = newChildren(2))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def createAggregationBuffer(): BoundedBudgetTopAgg.Prefix =
+    new BoundedBudgetTopAgg.Prefix(budget)
+
+  override def update(buf: BoundedBudgetTopAgg.Prefix,
+      input: InternalRow): BoundedBudgetTopAgg.Prefix = {
+    val q = quality.eval(input)
+    val i = id.eval(input)
+    val w = weight.eval(input)
+    if (q != null && i != null && w != null &&
+      !q.asInstanceOf[Double].isNaN) {
+      val wd = w.asInstanceOf[Double]
+      if (wd > 0 && !wd.isNaN) {
+        buf.offer(q.asInstanceOf[Double], i.asInstanceOf[Long], wd)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: BoundedBudgetTopAgg.Prefix,
+      other: BoundedBudgetTopAgg.Prefix): BoundedBudgetTopAgg.Prefix = {
+    buf.absorb(other)
+    buf
+  }
+
+  /** Kept ids ordered by (quality desc, id asc) — already the buffer
+    * order, the prefix invariant.
+    */
+  override def eval(buf: BoundedBudgetTopAgg.Prefix): Any =
+    new GenericArrayData(buf.ids())
+
+  override def serialize(buf: BoundedBudgetTopAgg.Prefix): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream(32 + 24 * buf.size)
+    val out = new DataOutputStream(bytes)
+    buf.writeTo(out)
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedBudgetTopAgg.Prefix =
+    BoundedBudgetTopAgg.readFrom(
+      new DataInputStream(new ByteArrayInputStream(bytes)), budget)
+}
+
+object BoundedBudgetTopAgg {
+
+  /** The greedy budget prefix, kept SORTED best-first by
+    * (quality desc, id asc) in parallel arrays, PLUS the "barrier" —
+    * the best-ranked row known to have overflowed the budget. The
+    * barrier is what makes pruning exact: the keeper rule's running
+    * total counts EVERY better row, kept or dropped, so a state that
+    * forgot its dropped rows would wrongly re-admit a light row
+    * arriving after a heavy better row was evicted (budget 10: accept
+    * E(q=6,w=9), evict D(q=5,w=9), then F(q=4,w=1) must be REJECTED —
+    * its true prefix is 9+9+1=19). Invariants, arrival-order
+    * independent and preserved by merge (a unit test exercises the
+    * D/E/F case across merge orders):
+    *
+    *  - the arrays hold exactly the kept prefix of all rows offered
+    *    so far; `total` is its weight;
+    *  - `barrier` is the best (quality desc, id asc) row offered so
+    *    far that is NOT in the prefix (none yet = no barrier). Every
+    *    dropped row is worse than or equal to it, so any new row at
+    *    or below the barrier's rank has true prefix weight
+    *    > budget and is rejected outright; any new row ABOVE it has
+    *    its full true better-set in the arrays, so the prefix-sum
+    *    test is exact.
+    *
+    * An `offer` binary-searches the rank position, rejects at/below
+    * the barrier, rejects (and becomes the new barrier) if the prefix
+    * weight through its position would exceed the budget, else
+    * inserts and evicts the tail back under budget (the best evictee
+    * becomes the new barrier). So the arrays never hold anything
+    * beyond the budget's own prefix — the `update`/`merge` state
+    * bound. Insertion is O(size) for the arraycopy; size is
+    * budget-bounded and small in practice (a quota exists to be far
+    * smaller than the group). Weight sums are exact for
+    * integer-valued weights (token/char counts, the intended keys)
+    * up to 2^53; fractional weights get IEEE addition in rank order,
+    * the same arithmetic as the oracle's window sum.
+    */
+  final class Prefix(budget: Double) {
+    private var qs = new Array[Double](16)
+    private var idv = new Array[Long](16)
+    private var ws = new Array[Double](16)
+    private var n = 0
+    private var total = 0.0
+    private var hasBar = false
+    private var barQ = 0.0
+    private var barId = 0L
+
+    def size: Int = n
+    private[graft] def barrier: Option[(Double, Long)] =
+      if (hasBar) Some((barQ, barId)) else None
+
+    private def better(qa: Double, ia: Long, qb: Double, ib: Long): Boolean =
+      qa > qb || (qa == qb && ia < ib)
+
+    /** rank position of (q, id): first index holding a WORSE entry. */
+    private def rankPos(q: Double, id: Long): Int = {
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (better(qs(mid), idv(mid), q, id)) lo = mid + 1
+        else hi = mid
+      }
+      lo
+    }
+
+    /** Record a known-overflowed row, and evict every kept entry at or
+      * below it — their running totals include everything through the
+      * barrier row, already over budget. The trim lives HERE (not at
+      * the call sites) so every path that learns of a dropped row —
+      * overflow rejection, tail eviction, absorbing another buffer's
+      * barrier — restores the invariant identically.
+      */
+    private[analysis] def raiseBarrier(q: Double, id: Long): Unit =
+      if (!hasBar || better(q, id, barQ, barId)) {
+        hasBar = true; barQ = q; barId = id
+        while (n > 0 && !better(qs(n - 1), idv(n - 1), barQ, barId)) {
+          n -= 1; total -= ws(n)
+        }
+      }
+
+    def offer(q: Double, id: Long, w: Double): Unit = {
+      // at/below the barrier: true prefix already over budget
+      if (hasBar && !better(q, id, barQ, barId)) return
+      val pos = rankPos(q, id)
+      var prefix = 0.0
+      var j = 0
+      while (j < pos) { prefix += ws(j); j += 1 }
+      if (prefix + w > budget) {
+        // the row overflows at rank `pos` — and so does every kept
+        // entry worse than it; raiseBarrier evicts them (the
+        // merge-order counterexamples in the class doc, caught by the
+        // permutation test)
+        raiseBarrier(q, id)
+        return
+      }
+      if (n == qs.length) {
+        val cap = qs.length * 2
+        qs = java.util.Arrays.copyOf(qs, cap)
+        idv = java.util.Arrays.copyOf(idv, cap)
+        ws = java.util.Arrays.copyOf(ws, cap)
+      }
+      System.arraycopy(qs, pos, qs, pos + 1, n - pos)
+      System.arraycopy(idv, pos, idv, pos + 1, n - pos)
+      System.arraycopy(ws, pos, ws, pos + 1, n - pos)
+      qs(pos) = q; idv(pos) = id; ws(pos) = w
+      n += 1
+      total += w
+      // evict from the worst end until the whole prefix fits again;
+      // the BEST evictee (the last index to go) is the new barrier
+      val evictedAny = total > budget
+      while (total > budget) { n -= 1; total -= ws(n) }
+      if (evictedAny) raiseBarrier(qs(n), idv(n))
+    }
+
+    /** Fold the other buffer in: barrier first (its dropped-row
+      * knowledge), then its kept prefix, best-first.
+      */
+    private[graft] def absorb(other: Prefix): Unit = {
+      if (other.hasBar) raiseBarrier(other.barQ, other.barId)
+      other.foreach((q, i, w) => offer(q, i, w))
+    }
+
+    def foreach(f: (Double, Long, Double) => Unit): Unit = {
+      var j = 0
+      while (j < n) { f(qs(j), idv(j), ws(j)); j += 1 }
+    }
+
+    private[analysis] def writeTo(out: DataOutputStream): Unit = {
+      out.writeBoolean(hasBar)
+      if (hasBar) { out.writeDouble(barQ); out.writeLong(barId) }
+      out.writeInt(n)
+      foreach { (q, i, w) =>
+        out.writeDouble(q); out.writeLong(i); out.writeDouble(w)
+      }
+    }
+
+    /** Kept ids, already (quality desc, id asc)-sorted. */
+    def ids(): Array[Long] = java.util.Arrays.copyOf(idv, n)
+  }
+
+  private[analysis] def readFrom(in: DataInputStream,
+      budget: Double): Prefix = {
+    val buf = new Prefix(budget)
+    if (in.readBoolean()) buf.raiseBarrier(in.readDouble(), in.readLong())
+    val n = in.readInt()
+    var j = 0
+    while (j < n) {
+      buf.offer(in.readDouble(), in.readLong(), in.readDouble()); j += 1
+    }
+    buf
+  }
+}
+
 /** Column-API entry point. */
 object BoundedTopK {
   /** Top-`k` ids per group by (quality desc, id asc), as array<long>.
@@ -202,4 +452,15 @@ object BoundedTopK {
     Bridge.column(
       BoundedTopKAgg(Bridge.expression(quality.cast("double")),
         Bridge.expression(id.cast("long")), k).toAggregateExpression())
+
+  /** Budget variant: best ids by (quality desc, id asc) while the
+    * running `weight` total stays <= `budget` ([[BoundedBudgetTopAgg]]).
+    */
+  def byBudget(quality: Column, id: Column, weight: Column,
+      budget: Double): Column =
+    Bridge.column(
+      BoundedBudgetTopAgg(Bridge.expression(quality.cast("double")),
+        Bridge.expression(id.cast("long")),
+        Bridge.expression(weight.cast("double")), budget)
+        .toAggregateExpression())
 }

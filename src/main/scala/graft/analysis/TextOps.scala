@@ -744,6 +744,35 @@ object TextOps {
       .drop("__sq_id")
   }
 
+  /** Per-source TOKEN-BUDGET quota: keep each source's best docs by
+    * (quality desc, id asc) while their RUNNING `weight` total stays
+    * within `budget` — the volume-balanced form of [[sourceQuota]]
+    * (real releases balance sources by token volume at least as often
+    * as by document count). Keeper rule is the greedy prefix — exactly
+    * `sum(weight) over (partition by source order by quality desc, id
+    * rows unbounded preceding) <= budget` — but never planned as a
+    * window: keeper ids come from `groupBy(source).agg(
+    * BoundedBudgetTopAgg)`, whose partial state is the budget's own
+    * prefix plus one barrier row, bounded in update AND merge
+    * ([[BoundedBudgetTopAgg]] has the proof), followed by the same
+    * 8-byte-id semi-join as every keeper here. Rows with null/NaN
+    * quality or non-positive weight never qualify (documented there).
+    */
+  def sourceQuotaBudget(docs: DataFrame, id: Column, source: Column,
+      quality: Column, weight: Column, budget: Double): DataFrame = {
+    val reserved = Seq("__sq_id", "__sq_src", "__sq_keep", "__sq_keep_id")
+    require(!docs.columns.exists(reserved.contains),
+      s"sourceQuotaBudget reserves the ${reserved.mkString("/")} column names")
+    val keyed = docs.withColumn("__sq_id", id)
+    val keeperIds = keyed
+      .groupBy(source.as("__sq_src"))
+      .agg(BoundedTopK.byBudget(quality, col("__sq_id"), weight, budget)
+        .as("__sq_keep"))
+      .select(explode(col("__sq_keep")).as("__sq_keep_id"))
+    keyed.join(keeperIds, col("__sq_id") === col("__sq_keep_id"), "left_semi")
+      .drop("__sq_id")
+  }
+
   /** Per-source corpus composition report — the summary every
     * pre-training pipeline publishes with a release: doc / token /
     * char volumes, token extremes, and the language mix per source.
@@ -924,7 +953,12 @@ object TextOps {
     *  3. per-source QUOTA — [[sourceQuota]] with the curation-stage
     *     token count as the quality key (keep the `maxPerSource`
     *     longest pages per source, ties to the lower id; the
-    *     `Int.MaxValue` default means NO quota and skips the stage);
+    *     `Int.MaxValue` default means NO quota and skips the stage).
+    *     `tokenBudgetPerSource` adds the volume-balanced form
+    *     ([[sourceQuotaBudget]]: keep each source's longest pages
+    *     while their running token total stays within the budget);
+    *     when both are set the count cap applies first, then the
+    *     budget trims the survivors;
     *  4. deterministic SPLIT — [[splitByHash]] on `splitOn`: the doc
     *     id by default, or "source" for whole-domain splitting (every
     *     page of a domain lands in ONE band — the near-dup-leakage
@@ -956,6 +990,7 @@ object TextOps {
       maxBucket: Int = 4096,
       contamN: Int = 8, minHits: Long = 1L,
       maxPerSource: Int = Int.MaxValue,
+      tokenBudgetPerSource: Option[Double] = None,
       fractions: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       splitOn: String = "doc_id",
@@ -995,10 +1030,15 @@ object TextOps {
     // the Int.MaxValue default means "no quota": skip the stage rather
     // than rank every source's full membership through a top-(2^31)
     // aggregate
-    val quota =
+    val quotaCount =
       if (maxPerSource == Int.MaxValue) clean
       else sourceQuota(clean, col("doc_id"), col("source"),
         col("n_tokens"), maxPerSource)
+    val quota = tokenBudgetPerSource match {
+      case Some(b) => sourceQuotaBudget(quotaCount, col("doc_id"),
+        col("source"), col("n_tokens"), col("n_tokens"), b)
+      case None => quotaCount
+    }
     val shards = splitByHash(quota, col(splitOn), fractions)
     val report = shards.groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),

@@ -860,6 +860,21 @@ class AnalysisSpec extends AnyFunSuite {
     val maxPer = shards.groupBy("source").count().agg(max("count"))
       .as[Long].head()
     assert(maxPer <= 3, s"quota violated: $maxPer")
+    // the token-budget knob: per-source kept token volume never
+    // exceeds the budget, and the budget genuinely binds somewhere
+    val budgeted = TextOps.release(docs, col("doc_id"), col("text"),
+      col("source"), bench, col("text"),
+      tokenBudgetPerSource = Some(300.0)).shards
+    val perSrc = budgeted.groupBy("source")
+      .agg(sum(col("n_tokens").cast("long")).as("tok"))
+      .select("tok").as[Long].collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_ <= 300L),
+      s"token budget violated: ${perSrc.toSeq}")
+    // non-vacuous: at least one source fills most of its budget (every
+    // curated doc has >= 30 tokens, so a filled source proves the
+    // prefix rule actually selected and stopped)
+    assert(perSrc.exists(_ > 200L),
+      s"budget never approached (vacuous): ${perSrc.toSeq}")
     // split: deterministic — identical to splitByHash on the same ids
     val expectSplit = TextOps.splitByHash(shards.select("doc_id"),
         col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
@@ -1342,6 +1357,88 @@ class AnalysisSpec extends AnyFunSuite {
     // source is under quota and fully kept
     val ids = kept.select("id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(999L, 1999L, 2999L, 200000L, 200001L), s"wrong keepers: $ids")
+  }
+
+  test("sourceQuotaBudget: greedy budget prefix per source, window-equal") {
+    val docs = Seq(
+      // a: ranked 4(w50), 2(w30), 3(w30), 1(w10); budget 90 keeps
+      // cum 50, 80 -> {4, 2}; 3 overflows at 110, 1 blocked behind it
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 50L),
+      (5L, "b", 5L), (6L, "b", 5L), // both fit: cum 5, 10
+      (7L, "c", 200L) // single doc over budget: dropped (cum 200 > 90)
+    ).toDF("doc_id", "source", "q")
+    val kept = TextOps.sourceQuotaBudget(docs, col("doc_id"), col("source"),
+      col("q"), col("q"), budget = 90.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 5L, 6L))
+    // property vs the definitional window form on a random corpus —
+    // the operator must equal `sum(w) over (order by q desc, id) <= B`
+    // exactly, including zero/NaN-weight skips
+    val rnd = new scala.util.Random(13)
+    val rand = (0 until 2000).map { i =>
+      (i.toLong, s"s${rnd.nextInt(7)}", rnd.nextInt(100).toLong,
+        rnd.nextInt(50).toLong) // weight 0 rows exercise the skip rule
+    }.toDF("doc_id", "source", "q", "w")
+    val got = TextOps.sourceQuotaBudget(rand, col("doc_id"), col("source"),
+      col("q"), col("w"), budget = 300.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = rand.filter(col("w") > 0)
+      .withColumn("cum", sum(col("w")).over(w))
+      .filter(col("cum") <= 300.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want, s"budget quota diverges from the window form")
+    // reserved internal names fail fast
+    val clash = Seq((1L, "a", 1L)).toDF("__sq_keep", "source", "q")
+    assertThrows[IllegalArgumentException] {
+      TextOps.sourceQuotaBudget(clash, col("source"), col("source"),
+        col("q"), col("q"), 1.0)
+    }
+  }
+
+  test("BoundedBudgetTop state: barrier makes pruning exact across merges") {
+    import graft.analysis.BoundedBudgetTopAgg.Prefix
+    // the counterexample a barrier-free prefix state gets wrong:
+    // budget 10, E(q=6,w=9) evicts D(q=5,w=9); F(q=4,w=1) must be
+    // REJECTED — its true running total is 9+9+1=19 — even though the
+    // in-state prefix weight before it is only 9
+    val p = new Prefix(10.0)
+    p.offer(5.0, 1L, 9.0) // D
+    p.offer(6.0, 2L, 9.0) // E evicts D, D becomes the barrier
+    assert(p.barrier.contains((5.0, 1L)))
+    p.offer(4.0, 3L, 1.0) // F: at/below barrier -> rejected
+    assert(p.ids().toSeq == Seq(2L))
+    // same rows split across partial buffers, every merge order
+    import graft.analysis.BoundedBudgetTopAgg
+    val agg = BoundedBudgetTopAgg(null, null, null, 10.0)
+    val rows = Seq((5.0, 1L, 9.0), (6.0, 2L, 9.0), (4.0, 3L, 1.0))
+    for (perm <- rows.permutations; cut <- 0 to rows.size) {
+      val (l, r) = perm.splitAt(cut)
+      val a = new Prefix(10.0); l.foreach { case (q, i, w) => a.offer(q, i, w) }
+      val b = new Prefix(10.0); r.foreach { case (q, i, w) => b.offer(q, i, w) }
+      val m = agg.deserialize(agg.serialize(a)) // serde round-trip too
+      m.absorb(agg.deserialize(agg.serialize(b)))
+      assert(m.ids().toSeq == Seq(2L),
+        s"merge of $l | $r kept ${m.ids().toSeq}")
+    }
+  }
+
+  test("sourceQuotaBudget is bounded partial-agg: no Window, budget-capped state") {
+    val mega = spark.range(100000).select(col("id"),
+      lit("the-one-domain").as("src"), (col("id") % 1000).as("q"))
+    val kept = TextOps.sourceQuotaBudget(mega, col("id"), col("src"),
+      col("q"), lit(100L), budget = 250.0)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"budget quota must not plan a Window over the source key:\n$plan")
+    assert(plan.contains("partial_bounded_budget_top"),
+      s"budget keeper lost its bounded map-side partial stage:\n$plan")
+    // weight 100 each, budget 250: exactly the 2 best fit (cum 100, 200)
+    // -> q=999 at ids 999, 1999
+    val ids = kept.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(999L, 1999L), s"wrong keepers: $ids")
   }
 
   test("per-domain exact dedup: composite (source, text-hash) key scopes dups per source") {
