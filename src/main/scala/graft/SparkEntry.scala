@@ -313,6 +313,23 @@ object SparkEntry {
           col("source"), col("n_chars"), col("n_chars"), budget = 5000.0)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    "q71_paragraph_dedup" -> ((s, d) => {
+      // paragraph-level dedup, both halves composed: an intra-doc
+      // repeated paragraph ("footer tag <id>" twice, dropped by the
+      // map-only first-occurrence strip) + a corpus-wide boilerplate
+      // paragraph (the SUBSCRIBE block in every doc, dropped by the
+      // cross-doc frequency pass); organic paragraphs survive; output
+      // is the documents rebuilt with blank-line separators
+      val wrapped = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n\n"), col("text"),
+          lit("\n\nfooter tag "), col("doc_id"),
+          lit("\n\nfooter tag "), col("doc_id")).as("text"))
+      val intra = wrapped.select(col("doc_id"),
+        TextOps.stripRepeatedParagraphs(col("text")).as("text"))
+      TextOps.stripParagraphBoilerplate(intra, col("doc_id"), col("text"),
+        minDocs = 100L, asDocs = true)
+    }),
+
     "q54_source_quota" -> ((s, d) =>
       // per-source quota (keep the N best docs per domain by a quality
       // key): BoundedTopK partial-agg keeper + semi-join — the exact
@@ -970,6 +987,26 @@ object SparkEntry {
         "freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1) " +
         "SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.line_no) AS text " +
         "FROM lines l JOIN freq f USING (line) WHERE f.n_docs < 100 GROUP BY 1"),
+
+    // paragraph dedup: the same split/first-occurrence/frequency rules
+    // in DuckDB list lambdas (list_position is 1-based like the lambda
+    // index; Spark's filter index is 0-based, hence the +1 there)
+    "q71_paragraph_dedup" ->
+      ("WITH wrapped AS (SELECT doc_id, 'SUBSCRIBE TO OUR NEWSLETTER' " +
+        "|| chr(10) || chr(10) || text || chr(10) || chr(10) || " +
+        "'footer tag ' || doc_id || chr(10) || chr(10) || " +
+        "'footer tag ' || doc_id AS text FROM documents), " +
+        "intra AS (SELECT doc_id, list_filter(paras, (p, i) -> " +
+        "list_position(paras, p) = i) AS paras FROM (" +
+        "SELECT doc_id, string_split_regex(text, '\\n{2,}') AS paras " +
+        "FROM wrapped)), " +
+        "px AS (SELECT doc_id, unnest(range(0, len(paras))) AS para_no, " +
+        "unnest(paras) AS para FROM intra), " +
+        "freq AS (SELECT para, count(DISTINCT doc_id) AS n_docs " +
+        "FROM px GROUP BY 1) " +
+        "SELECT px.doc_id, string_agg(px.para, chr(10) || chr(10) " +
+        "ORDER BY px.para_no) AS text FROM px " +
+        "JOIN freq f USING (para) WHERE f.n_docs < 100 GROUP BY 1"),
 
     // the greedy budget-prefix rule, as the window cumsum it is
     // definitionally equal to (weight > 0 mirrors the operator's

@@ -273,6 +273,81 @@ object TextOps {
     if (asDocs) reassemble(kept) else kept
   }
 
+  // ---- paragraph-level dedup (the CCNet/RefinedWeb-style pass) ------------
+  /** Paragraph split: blank-line-separated blocks (a run of 2+
+    * newlines ends a paragraph — text already normalized to `\n` line
+    * breaks, which [[stripMarkup]]'s block rewrite and N1 both emit).
+    * The one definition shared by every paragraph operator here and
+    * the q71 DuckDB oracle (string_split_regex with the same RE2
+    * pattern).
+    */
+  private val ParagraphSplit = "\n{2,}"
+
+  /** One (doc_id, para_no, para, para_key) row per paragraph — the
+    * paragraph-granularity [[explodedLines]] (same null-text drop,
+    * same explode_outer discipline, same 8-byte xxhash64 key).
+    */
+  private def explodedParagraphs(docs: DataFrame, id: Column,
+      text: Column): DataFrame =
+    docs.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        posexplode_outer(split(text, ParagraphSplit)).as(Seq("para_no", "para")))
+      .select(col("doc_id"), col("para_no").cast("long").as("para_no"),
+        col("para"), xxhash64(col("para")).as("para_key"))
+
+  /** Corpus-frequent boilerplate PARAGRAPHS: a paragraph appearing in
+    * >= `minDocs` distinct documents (cookie banners, subscribe
+    * blocks, license blurbs — the units the published paragraph-level
+    * dedup passes remove, where a line-granularity pass would also
+    * have to agree on line wrapping). Identical two-partial-agg
+    * 8-byte-key shape as [[boilerplateLines]]; returns
+    * (para_key, n_docs).
+    */
+  def boilerplateParagraphs(docs: DataFrame, id: Column, text: Column,
+      minDocs: Long): DataFrame =
+    explodedParagraphs(docs, id, text)
+      .groupBy(col("para_key"), col("doc_id")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("para_key")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Strip corpus-frequent paragraphs from every document — the
+    * INTER-doc half of paragraph dedup ([[stripBoilerplate]]'s shape
+    * one granularity up: anti-join against the tiny frequent set, the
+    * frequency side re-derived column-pruned). Returns kept
+    * (doc_id, para_no, para) rows, or whole documents rebuilt with
+    * blank-line separators when `asDocs` (a doc whose every paragraph
+    * was boilerplate disappears, like the line form).
+    */
+  def stripParagraphBoilerplate(docs: DataFrame, id: Column, text: Column,
+      minDocs: Long, asDocs: Boolean = false): DataFrame = {
+    val kept = explodedParagraphs(docs, id, text)
+      .join(boilerplateParagraphs(docs, id, text, minDocs), Seq("para_key"),
+        "left_anti")
+      .select(col("doc_id"), col("para_no"), col("para"))
+    if (asDocs)
+      reassemble(kept.select(col("doc_id"), col("para_no").as("line_no"),
+        col("para").as("line")), "\n\n")
+    else kept
+  }
+
+  /** INTRA-doc paragraph dedup, map-only: keep each distinct
+    * paragraph's FIRST occurrence, in order, and drop later repeats
+    * (navigation blocks repeated top-and-bottom, template glitches) —
+    * the per-document half of the pass, a pure projection with no
+    * shuffle at any scale. The position scan is O(paragraphs^2) per
+    * document, bounded by the document itself (the [[reassemble]]
+    * argument). NOTE: `text` is referenced three times in the
+    * expression tree — pass a COLUMN, not a computed chain
+    * (withColumn the chain first; the tree-copy trap documented at
+    * [[explodedLines]]).
+    */
+  def stripRepeatedParagraphs(text: Column): Column = {
+    val paras = split(text, ParagraphSplit)
+    array_join(
+      filter(paras, (p, i) => array_position(paras, p) === i + 1),
+      "\n\n")
+  }
+
   /** Reassemble per-line rows back into one flat document per doc_id —
     * the step between "kept lines" and "cleaned corpus" that every
     * consumer of [[stripBoilerplate]] needs: lines sorted by line_no
@@ -289,12 +364,12 @@ object TextOps {
     * single pathologically-huge document is an input-hygiene problem,
     * which is what [[qualityFeatures]]' length gate is for).
     */
-  def reassemble(lines: DataFrame): DataFrame =
+  def reassemble(lines: DataFrame, sep: String = "\n"): DataFrame =
     lines.groupBy(col("doc_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
           x => x("line")),
-        "\n").as("text"))
+        sep).as("text"))
 
   // ---- PII redaction / URL parsing (pre-training hygiene) -----------------
   /** PII redaction patterns, ORDERED (more specific first: SSN and

@@ -1441,6 +1441,39 @@ class AnalysisSpec extends AnyFunSuite {
     assert(ids == Seq(999L, 1999L), s"wrong keepers: $ids")
   }
 
+  test("paragraph dedup: intra-doc first-occurrence strip + cross-doc boilerplate") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\n\nalpha one\n\nnav\n\nnav\n\nbeta"),
+      (2L, "COOKIE BANNER\n\ngamma two\n\nCOOKIE BANNER"),
+      (3L, "delta\n\nCOOKIE BANNER")
+    ).toDF("doc_id", "text")
+    // intra-doc (map-only): later repeats vanish, first stays in place
+    val intra = docs.select(col("doc_id"),
+      TextOps.stripRepeatedParagraphs(col("text")).as("text"))
+    val byId = intra.as[(Long, String)].collect().toMap
+    assert(byId(1L) == "COOKIE BANNER\n\nalpha one\n\nnav\n\nbeta")
+    assert(byId(2L) == "COOKIE BANNER\n\ngamma two")
+    assert(byId(3L) == "delta\n\nCOOKIE BANNER")
+    // cross-doc: the banner rides 3 distinct docs -> boilerplate at
+    // minDocs=3; organic paragraphs (incl. the single kept nav) stay
+    val clean = TextOps.stripParagraphBoilerplate(intra, col("doc_id"),
+        col("text"), minDocs = 3L, asDocs = true)
+      .as[(Long, String)].collect().toMap
+    assert(clean == Map(1L -> "alpha one\n\nnav\n\nbeta",
+      2L -> "gamma two", 3L -> "delta"))
+    // round-trip: a boilerplate-free corpus reassembles byte-identically
+    // (paragraph split/join invert each other)
+    val freeDocs = Seq((7L, "one\n\ntwo\n\nthree")).toDF("doc_id", "text")
+    assert(TextOps.stripParagraphBoilerplate(freeDocs, col("doc_id"),
+        col("text"), minDocs = 2L, asDocs = true)
+      .as[(Long, String)].collect().toSeq == Seq((7L, "one\n\ntwo\n\nthree")))
+    // null text drops at the split like the line form
+    val withNull = Seq((8L, Some("a")), (9L, None)).toDF("doc_id", "text")
+    assert(TextOps.stripParagraphBoilerplate(withNull, col("doc_id"),
+      col("text"), minDocs = 2L).select("doc_id").as[Long].collect().toSeq
+      == Seq(8L))
+  }
+
   test("per-domain exact dedup: composite (source, text-hash) key scopes dups per source") {
     // the same page on two mirrors survives once PER MIRROR; within a
     // mirror the min-id keeper rule applies unchanged
