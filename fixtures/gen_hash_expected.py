@@ -398,6 +398,48 @@ def main(sf_dir):
           sorted((i, src_of(i), ntok, split_of(i))
                  for i, ntok in clean if i in quota_keep))
 
+    # q72: incremental snapshot-vs-base dedup — snapshot 1 (doc_id <
+    # 250) is the base; snapshot 2 = the rest + near-dups of BASE docs
+    # (ids +7000000) + near-dups WITHIN the snapshot (ids +7100000).
+    # Composed independently of the Spark operator: base band table,
+    # cross band-key lookup + jaccard rerank, snapshot-internal
+    # minhash_pairs, greedy keeper rule (drop cross-matched new ids and
+    # the greater id of each new-new pair).
+    base_snap = {i: t for i, t in base.items() if i < 250}
+    new_snap = {i: t for i, t in base.items() if i >= 250}
+    for i, t in base.items():
+        if i < 10:
+            new_snap[i + 7000000] = t + " extra token"
+        if 250 <= i < 260:
+            new_snap[i + 7100000] = t + " extra token"
+    base_hs = {i: shingle_hashes(t) for i, t in base_snap.items()}
+    base_buckets = {}
+    for i in base_snap:
+        for key in band_keys(minhash_sig(base_hs[i])):
+            base_buckets.setdefault(key, []).append(i)
+    new_hs = {i: shingle_hashes(t) for i, t in new_snap.items()}
+    cross = set()
+    for i in new_snap:
+        for key in band_keys(minhash_sig(new_hs[i])):
+            for b in base_buckets.get(key, ()):
+                cross.add((i, b))
+    cross_pairs = []
+    for a, b in sorted(cross):
+        inter = len(new_hs[a] & base_hs[b])
+        union = len(new_hs[a] | base_hs[b])
+        j = inter / union if union else 0.0
+        if j >= 0.5:
+            cross_pairs.append((a, b, j))
+    new_pairs = minhash_pairs(new_snap)
+    dropped = {a for a, _b, _j in cross_pairs}
+    dropped |= {max(a, b) for a, b, _j in new_pairs}
+    rows = [("keeper", i, None, None) for i in sorted(new_snap)
+            if i not in dropped]
+    rows += [("cross", a, b, j) for a, b, j in cross_pairs]
+    rows += [("new", a, b, j) for a, b, j in new_pairs]
+    write(con, "expected_incremental",
+          "kind VARCHAR, id_a BIGINT, id_b BIGINT, jaccard DOUBLE", rows)
+
     # q65: real BPE token counts — vocab trained on the SAME table
     # (200 merges, word types capped at 100000 by (count desc, word
     # asc) — UTF-8 bytewise and code-point order agree, so the cap set

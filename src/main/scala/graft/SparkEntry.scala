@@ -703,6 +703,37 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("split"))
     }),
 
+    "q72_incremental_dedup" -> ((s, d) => {
+      // incremental snapshot-vs-base dedup: snapshot 1 (doc_id < 250)
+      // seeds a staged minhash base; snapshot 2 (the rest + planted
+      // near-dups of BASE docs + near-dups WITHIN the snapshot) is
+      // deduped against it without recomputing the base. One frame
+      // carries all three results (keepers, cross pairs, new-new
+      // pairs), hash-checked against the Python mirror's independent
+      // two-snapshot composition (fixtures/gen_hash_expected.py).
+      // The temp base dir is per-invocation (OS tmp lifecycle).
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val baseDocs = docs.filter(col("doc_id") < 250)
+      val crossDups = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 7000000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      val newDups = docs.filter(col("doc_id") >= 250 && col("doc_id") < 260)
+        .select((col("doc_id") + 7100000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      val newDocs = docs.filter(col("doc_id") >= 250)
+        .unionByName(crossDups).unionByName(newDups)
+      val dir = java.nio.file.Files.createTempDirectory("graft-q72-").toString
+      TextOps.buildMinhashBase(baseDocs, col("doc_id"), col("text"), dir)
+      val r = TextOps.dedupAgainstBase(newDocs, col("doc_id"), col("text"), dir)
+      r.keepers.select(lit("keeper").as("kind"), col("doc_id").as("id_a"),
+          lit(null).cast("long").as("id_b"),
+          lit(null).cast("double").as("jaccard"))
+        .unionByName(r.crossPairs.select(lit("cross").as("kind"),
+          col("new_id").as("id_a"), col("base_id").as("id_b"), col("jaccard")))
+        .unionByName(r.newPairs.select(lit("new").as("kind"),
+          col("id_a"), col("id_b"), col("jaccard")))
+    }),
+
     "q48_dedup_cascade" -> ((s, d) => {
       // exact -> near dedup composition: a 500-strong identical cluster
       // (plus q25's injected near-dups) must collapse in the exact
@@ -1240,6 +1271,13 @@ object SparkEntry {
     "q64_release" ->
       ("SELECT doc_id, source, n_tokens, split " +
         "FROM read_parquet('/root/repo/fixtures/expected_release.parquet')"),
+
+    // incremental snapshot-vs-base dedup: the mirror composes the two
+    // snapshots independently (base band table, cross equi-join,
+    // snapshot self-join, greedy keeper rule — gen_hash_expected.py)
+    "q72_incremental_dedup" ->
+      ("SELECT kind, id_a, id_b, jaccard " +
+        "FROM read_parquet('/root/repo/fixtures/expected_incremental.parquet')"),
 
     // real BPE: the mirror independently re-trains the merge list and
     // greedy-applies it (gen_hash_expected.py)

@@ -635,13 +635,6 @@ object TextOps {
       n: Int, m: Int, bands: Int, minJaccard: Double, maxBucket: Int,
       fused: Boolean, staging: Option[String],
       scope: CacheScope): (DataFrame, DataFrame) = {
-    // explode_outer: band-key arrays are never empty, and plain explode
-    // lets InferFiltersFromGenerate push a filter that re-inlines the
-    // whole minhash expression tree (see Pipeline.extractRows).
-    // The rerank carries shingle HASHES (longs), not shingle strings —
-    // same Jaccard modulo 64-bit collisions, far cheaper to shuffle and
-    // intersect.
-    //
     // Materialization barrier ([[Staging]]): the self-join would
     // otherwise recompute the minhash chain per side AND pull inlined
     // copies of it into pushed-down join-key constraints. Default is
@@ -653,20 +646,43 @@ object TextOps {
     // and the one long-lived sessions should use so repeated invocations
     // accumulate no BlockManager storage.
     val base = Staging.materialize(
-      docs.select(id.as("id"), shingleHashSet(text, n, fused).as("hs"))
-        .withColumn("sig", signature(col("hs"), m, fused))
-        .withColumn("bk", explode_outer(
-          if (fused) MinhashBandKeys.of(col("sig"), bands)
-          else lshBandKeys(col("sig"), m, bands)))
-        .select(col("id"), col("hs"), col("bk.band"), col("bk.bucket")),
+      minhashExploded(docs, id, text, n, m, bands, fused),
       staging, "minhash_base", scope)
+    (minhashSelfPairs(base, minJaccard, maxBucket), base)
+  }
+
+  /** The exploded (id, hs, band, bucket) frame both sides of the LSH
+    * self-join read — one row per (doc, band key). The rerank carries
+    * shingle HASHES (longs), not shingle strings: same Jaccard modulo
+    * 64-bit collisions, far cheaper to shuffle and intersect.
+    * explode_outer: band-key arrays are never empty, and plain explode
+    * lets InferFiltersFromGenerate push a filter that re-inlines the
+    * whole minhash expression tree (see Pipeline.extractRows).
+    */
+  private def minhashExploded(docs: DataFrame, id: Column, text: Column,
+      n: Int, m: Int, bands: Int, fused: Boolean): DataFrame =
+    docs.select(id.as("id"), shingleHashSet(text, n, fused).as("hs"))
+      .withColumn("sig", signature(col("hs"), m, fused))
+      .withColumn("bk", explode_outer(
+        if (fused) MinhashBandKeys.of(col("sig"), bands)
+        else lshBandKeys(col("sig"), m, bands)))
+      .select(col("id"), col("hs"), col("bk.band"), col("bk.bucket"))
+
+  /** Banded self-join + exact-Jaccard rerank over a MATERIALIZED
+    * (id, hs, band, bucket) base frame (hot buckets salted, pairs
+    * deduped across bands before the rerank). Shared by the one-corpus
+    * path ([[minhashDupPairs]]) and the incremental new-vs-new half of
+    * [[dedupAgainstBase]].
+    */
+  private def minhashSelfPairs(base: DataFrame, minJaccard: Double,
+      maxBucket: Int): DataFrame = {
     val salted =
       Buckets.saltOversized(base, Seq("band", "bucket"), col("id"), maxBucket)
     val a = salted.select(col("band"), col("bucket"), col("__salt"),
       col("id").as("id_a"), col("hs").as("hs_a"))
     val b = salted.select(col("band"), col("bucket"), col("__salt"),
       col("id").as("id_b"), col("hs").as("hs_b"))
-    val pairs = a.join(b, Seq("band", "bucket", "__salt"))
+    a.join(b, Seq("band", "bucket", "__salt"))
       .filter(col("id_a") < col("id_b"))
       // dedupe pairs BEFORE the exact-Jaccard rerank: a pair colliding
       // in k bands pays ONE set intersection, not k (the shingle-hash
@@ -675,7 +691,6 @@ object TextOps {
       .select(col("id_a"), col("id_b"),
         jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-    (pairs, base)
   }
 
   // ---- deterministic dataset splitting ---------------------------------
@@ -1276,4 +1291,123 @@ object TextOps {
       n, m, bands, minJaccard, maxBucket, fused, staging, scope)
     (pairs, exactDupGroups(named, xxhash64(col("text")), col("id")))
   }
+
+  // ---- incremental (snapshot-vs-base) dedup ----------------------------
+  /** Seed a persistent minhash BASE for incremental dedup: stage the
+    * corpus's exploded (id, hs, band, bucket) frame as parquet under
+    * `baseDir/minhash_base` and return it. [[dedupAgainstBase]] then
+    * dedups each ARRIVING snapshot against that table without ever
+    * recomputing the base corpus's signatures — the most frequently-run
+    * operation of a living corpus (crawls arrive in snapshots; the
+    * full-corpus join is a one-time cost, the incremental join is the
+    * steady state). A [[curate]]/[[release]] run with `staging` already
+    * writes this exact table (over its exact-collapse keepers), so a
+    * released corpus's staging dir IS a valid `baseDir` — no separate
+    * seeding pass needed. The (n, m, bands, fused-vs-HOF) parameters are
+    * part of the table's contract: incremental calls must pass the SAME
+    * values or band keys will not collide (documented, not detectable
+    * from the table itself).
+    */
+  def buildMinhashBase(docs: DataFrame, id: Column, text: Column,
+      baseDir: String, n: Int = 3, m: Int = 16, bands: Int = 4,
+      fused: Boolean = true): DataFrame =
+    Staging.materialize(minhashExploded(docs, id, text, n, m, bands, fused),
+      Some(baseDir), "minhash_base")
+
+  /** What [[dedupAgainstBase]] hands back.
+    *  - `keepers`: the new snapshot's survivors (doc_id, text) — docs
+    *    that near-dup nothing in the base and are not the dropped
+    *    (greater-id) side of a new-new pair;
+    *  - `crossPairs` (new_id, base_id, jaccard): new docs caught by the
+    *    base — the incremental evidence frame;
+    *  - `newPairs` (id_a, id_b, jaccard): near-dups WITHIN the snapshot
+    *    (the base can't catch two new docs that duplicate each other);
+    *  - `newBase`: the snapshot's exploded (id, hs, band, bucket) frame,
+    *    what [[appendToBase]] folds into the base table.
+    */
+  final case class IncrementalDedupResult(keepers: DataFrame,
+      crossPairs: DataFrame, newPairs: DataFrame, newBase: DataFrame)
+
+  /** Dedup a NEW snapshot against an existing staged base WITHOUT
+    * recomputing the base: read `baseDir/minhash_base` back (written by
+    * [[buildMinhashBase]] or a staged [[curate]]/[[release]] run),
+    * compute signatures for the new docs only, and
+    *
+    *  1. equi-join the new docs' band keys against the base's — a new
+    *     doc sharing any (band, bucket) with a base doc is a candidate;
+    *     exact-Jaccard rerank (shingle-hash sets ride both sides) keeps
+    *     pairs >= `minJaccard`;
+    *  2. self-join the new docs' band keys among themselves (hot
+    *     buckets salted like every self-join here) — snapshot-internal
+    *     dups the base cannot know about;
+    *  3. keepers = new docs minus (cross-matched new ids) minus (the
+    *     greater id of each new-new pair — [[curate]]'s greedy rule).
+    *
+    * Cost shape: O(new docs) signatures + one equi-join whose base side
+    * is a column-pruned parquet scan of 8-byte ids and hash arrays —
+    * snapshot k never pays snapshot 1..k-1's minhash chain again
+    * (CurateVolumeBench's incremental phase is the measured evidence).
+    * The new-vs-base join is a plain equi-join (not a self-join), so
+    * the hot-bucket salt does not apply to it; a curated base keeps its
+    * buckets bounded by construction ([[curate]] collapses exact dups
+    * before banding), and AQE skew handling covers organic hot keys.
+    * Exact duplicates WITHIN the snapshot surface as jaccard-1.0 pairs
+    * (provided the text has >= n tokens); run [[dedupCascade]] first if
+    * the snapshot may carry mega-clusters of identical text.
+    *
+    * `staging`/`scope` control the SNAPSHOT-side barriers only (the new
+    * base + the two pair frames, each consumed twice); the base table
+    * is read-only here — fold survivors in with [[appendToBase]] once
+    * the results are consumed.
+    */
+  def dedupAgainstBase(newDocs: DataFrame, id: Column, text: Column,
+      baseDir: String, n: Int = 3, m: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5, maxBucket: Int = 4096,
+      fused: Boolean = true, staging: Option[String] = None,
+      scope: CacheScope = CacheScope.unmanaged): IncrementalDedupResult = {
+    val spark = newDocs.sparkSession
+    val base = spark.read.parquet(s"$baseDir/minhash_base")
+    val named = newDocs.select(id.as("doc_id"), text.as("text"))
+    val newBase = Staging.materialize(
+      minhashExploded(named, col("doc_id"), col("text"), n, m, bands, fused),
+      staging, "minhash_base_new", scope)
+    // barrier both pair frames: each feeds the keeper anti-join AND is
+    // returned for the caller to consume — unmaterialized, reading both
+    // would re-run its join (the q64 release lesson)
+    val crossPairs = Staging.materialize(
+      newBase.select(col("band"), col("bucket"),
+          col("id").as("new_id"), col("hs").as("hs_n"))
+        .join(base.select(col("band"), col("bucket"),
+          col("id").as("base_id"), col("hs").as("hs_b")), Seq("band", "bucket"))
+        .dropDuplicates("new_id", "base_id")
+        .select(col("new_id"), col("base_id"),
+          jaccard(col("hs_n"), col("hs_b")).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard),
+      staging, "inc_cross_pairs", scope)
+    val newPairs = Staging.materialize(
+      minhashSelfPairs(newBase, minJaccard, maxBucket),
+      staging, "inc_new_pairs", scope)
+    val dropIds = crossPairs.select(col("new_id").as("doc_id"))
+      .unionByName(newPairs.select(
+        greatest(col("id_a"), col("id_b")).as("doc_id")))
+      .distinct()
+    val keepers = named.join(dropIds, Seq("doc_id"), "left_anti")
+    IncrementalDedupResult(keepers, crossPairs, newPairs, newBase)
+  }
+
+  /** Fold an incremental pass's survivors into the base table: append
+    * the keepers' rows of `newBase` (already computed — this is a
+    * filter + append, no new signature work) to `baseDir/minhash_base`,
+    * so the NEXT snapshot dedups against base + this snapshot's
+    * keepers. Parquet append is not atomic across failures — rerunning
+    * a failed append can duplicate base rows, which is RECALL-safe
+    * (extra identical band rows re-find the same candidates; crossPairs
+    * dedups per (new_id, base_id)) but wasteful; compact the base table
+    * on a maintenance cadence if appends churn.
+    */
+  def appendToBase(baseDir: String, result: IncrementalDedupResult): Unit =
+    result.newBase
+      .join(result.keepers.select(col("doc_id").as("id")), Seq("id"),
+        "left_semi")
+      .write.mode("append").parquet(s"$baseDir/minhash_base")
 }

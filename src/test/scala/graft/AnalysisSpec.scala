@@ -1488,6 +1488,84 @@ class AnalysisSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L, 4L))
   }
 
+  test("incremental dedup: cross recall, snapshot-internal recall, keeper rule") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incbase").toString
+    val docs = documents.select(col("doc_id"), col("text"))
+    val baseDocs = docs.filter(col("doc_id") < 100)
+    TextOps.buildMinhashBase(baseDocs, col("doc_id"), col("text"), dir)
+    // snapshot: fresh docs + near-dups of BASE docs + near-dups of
+    // each other (the base cannot know about the latter)
+    val fresh = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    val crossDups = baseDocs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val newDups = fresh.filter(col("doc_id") < 110)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val snap = fresh.unionByName(crossDups).unionByName(newDups)
+    val r = TextOps.dedupAgainstBase(snap, col("doc_id"), col("text"), dir)
+    val cross = r.crossPairs.as[(Long, Long, Double)].collect()
+    val crossSet = cross.map(p => (p._1, p._2)).toSet
+    (0L until 10L).foreach { i =>
+      assert(crossSet.contains((i + 500000, i)), s"base missed cross dup $i")
+    }
+    val newSet = r.newPairs.as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    (100L until 110L).foreach { i =>
+      assert(newSet.contains((i, i + 600000)), s"missed snapshot-internal dup $i")
+    }
+    // keeper rule, checked exactly: cross-matched ids drop entirely; of
+    // each new-new pair the GREATER id drops (curate's greedy rule) —
+    // the corpus has ORGANIC near-dups too, so derive the expected set
+    // from the returned pair frames rather than assuming only plants
+    val keepers = r.keepers.select("doc_id").as[Long].collect().toSet
+    val snapIds = snap.select("doc_id").as[Long].collect().toSet
+    val expected = snapIds -- cross.map(_._1) --
+      r.newPairs.as[(Long, Long, Double)].collect().map(p => p._1 max p._2)
+    assert(keepers == expected, "keeper rule must match drop sets exactly")
+    assert((500000L until 500010L).forall(i => !keepers.contains(i)))
+    assert((600100L until 600110L).forall(i => !keepers.contains(i)))
+    // the base side of the cross join is a PARQUET SCAN of the staged
+    // base — snapshot k never pays the base corpus's minhash chain
+    val plan = r.crossPairs.queryExecution.executedPlan.toString
+    assert(plan.contains(dir), s"cross join must read the staged base:\n$plan")
+  }
+
+  test("appendToBase: next snapshot dedups against prior keepers; curate dir is a base") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incbase2").toString
+    val docs = documents.select(col("doc_id"), col("text"))
+    TextOps.buildMinhashBase(docs.filter(col("doc_id") < 50),
+      col("doc_id"), col("text"), dir)
+    val snap1 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 80)
+    val r1 = TextOps.dedupAgainstBase(snap1, col("doc_id"), col("text"), dir)
+    val k1 = r1.keepers.select("doc_id").as[Long].collect().toSet
+    assert(k1.contains(60L), "test premise: doc 60 must survive snapshot 1")
+    TextOps.appendToBase(dir, r1)
+    // snapshot 2 carries a near-dup of a snapshot-1 KEEPER (id 60) and
+    // of an ORIGINAL base doc (id 5) — both must now be cross-caught
+    val snap2 = docs.filter(col("doc_id").isin(60L, 5L))
+      .select((col("doc_id") + 700000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val r2 = TextOps.dedupAgainstBase(snap2, col("doc_id"), col("text"), dir)
+    val caught = r2.crossPairs.as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(caught.contains((700060L, 60L)), "appended keeper not in base")
+    assert(caught.contains((700005L, 5L)), "original base doc lost by append")
+    assert(r2.keepers.count() == 0)
+    // a staged curate run's dir IS a valid base: its minhash_base is
+    // this exact table over the exact-collapse keepers
+    val curDir = java.nio.file.Files.createTempDirectory("graft-incbase3").toString
+    TextOps.curate(docs.filter(col("doc_id") < 50), col("doc_id"), col("text"),
+      staging = Some(curDir)).kept.count()
+    val r3 = TextOps.dedupAgainstBase(
+      docs.filter(col("doc_id") === 7L)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")),
+      col("doc_id"), col("text"), curDir)
+    assert(r3.crossPairs.as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet == Set((800007L, 7L)))
+  }
+
   test("ANN buckets stay fine-grained at scale: no N/16 bucket") {
     val n = 1200
     val rnd = new scala.util.Random(11)
