@@ -450,11 +450,79 @@ def main(sf_dir):
         for w in tokens(t):
             wc[w] = wc.get(w, 0) + 1
     top = sorted(wc.items(), key=lambda x: (-x[1], x[0]))[:100000]
-    ranks = {p: i for i, p in enumerate(bpe_train(top, 200))}
+    merges = bpe_train(top, 200)
+    ranks = {p: i for i, p in enumerate(merges)}
     write(con, "expected_bpe", "doc_id BIGINT, n_bpe INTEGER",
           sorted((i, sum(bpe_count_word(w, ranks) for w in tokens(t))
                   + len(SYMBOL_RE.findall(t)))
                  for i, t in base.items()))
+
+    # q73: tokenize + pack — mirrors Bpe.TokenVocab/BpeTokenIds/
+    # Pack.packSequences. Alphabet = distinct non-ASCII-ws code points
+    # of lower(text), code-point sorted, ids 0..A-1; merge r -> id
+    # A + r (assigned by the MERGE applied, not string lookup — two
+    # merges can yield the same string); UNK = A + M. Docs pack in
+    # (xxhash64(doc_id), doc_id) order into 512-id sequences.
+    ws = set(" \t\n\x0b\f\r")
+    alpha = sorted({ch for t in base.values() for ch in t.lower()
+                    if ch not in ws})
+    aid = {ch: i for i, ch in enumerate(alpha)}
+    big_a = len(alpha)
+    unk = big_a + len(merges)
+
+    def ids_of_word(word):
+        syms = list(word)
+        ids = [aid.get(s, unk) for s in syms]
+        while len(syms) >= 2:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (syms[i], syms[i + 1]), r
+            if best is None:
+                break
+            out_s, out_i, i = [], [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out_s.append(syms[i] + syms[i + 1])
+                    out_i.append(big_a + best_rank)
+                    i += 2
+                else:
+                    out_s.append(syms[i])
+                    out_i.append(ids[i])
+                    i += 1
+            syms, ids = out_s, out_i
+        return ids
+
+    scan_re = regex.compile(r"[\p{L}0-9']+|[^\p{L}0-9' \t\n\x0B\f\r]")
+
+    def doc_token_ids(text):
+        out = []
+        for m in scan_re.finditer(text.lower()):
+            s = m.group(0)
+            if TOKEN_RE.fullmatch(s):
+                out.extend(ids_of_word(s))
+            else:
+                out.append(aid.get(s, unk))
+        return out
+
+    doc_toks = {i: doc_token_ids(t) for i, t in base.items()}
+    order = sorted((i for i in doc_toks if doc_toks[i]),
+                   key=lambda i: (to_signed(hash_long(i, 42)), i))
+    seq_len = 512
+    rows, off = [], 0
+    for i in order:
+        tids = doc_toks[i]
+        n = len(tids)
+        for s in range(off // seq_len, (off + n - 1) // seq_len + 1):
+            gs = max(off, s * seq_len)
+            ge = min(off + n, (s + 1) * seq_len)
+            rows.append(("span", s, i, gs - s * seq_len, ge - gs))
+            for k in range(gs, ge):
+                rows.append(("tok", s, k - s * seq_len, tids[k - off], None))
+        off += n
+    write(con, "expected_pack",
+          "kind VARCHAR, seq_id BIGINT, a BIGINT, b BIGINT, c BIGINT", rows)
 
 
 if __name__ == "__main__":

@@ -678,6 +678,33 @@ object SparkEntry {
         Bpe.tokenCount(col("text"), vocab).as("n_bpe"))
     }),
 
+    "q73_pack_sequences" -> ((s, d) => {
+      // tokenized output + sequence packing: the corpus BPE-tokenizes
+      // to ids (alphabet + merge-rank layout) and packs into 512-token
+      // sequences with (doc_id, start, len) provenance spans, docs in
+      // (xxhash64(doc_id), doc_id) order. Flattened to scalar rows
+      // (tok: per-token position/id; span: per-span doc/start/len) so
+      // the DuckDB hash compare covers full content without nested
+      // types; the mirror packs the same corpus independently.
+      import graft.analysis.{Bpe, Pack}
+      val docs = t(s, d, "documents")
+      val vocab = s.sparkContext.broadcast(
+        Bpe.buildTokenVocab(docs, col("text"), nMerges = 200))
+      val packed = Pack.packSequences(docs, col("doc_id"), col("text"),
+        vocab, seqLen = 512)
+      val toks = packed.select(col("seq_id"),
+          posexplode_outer(col("token_ids")).as(Seq("pos", "tid")))
+        .select(lit("tok").as("kind"), col("seq_id"),
+          col("pos").cast("long").as("a"), col("tid").cast("long").as("b"),
+          lit(null).cast("long").as("c"))
+      val spans = packed.select(col("seq_id"),
+          explode_outer(col("spans")).as("sp"))
+        .select(lit("span").as("kind"), col("seq_id"),
+          col("sp.doc_id").as("a"), col("sp.start").cast("long").as("b"),
+          col("sp.len").cast("long").as("c"))
+      toks.unionByName(spans)
+    }),
+
     "q64_release" -> ((s, d) => {
       // the composed corpus release (curate -> decontaminate ->
       // per-source quota -> deterministic split) over the q50 corpus
@@ -1284,6 +1311,12 @@ object SparkEntry {
     "q65_bpe_tokens" ->
       ("SELECT doc_id, n_bpe " +
         "FROM read_parquet('/root/repo/fixtures/expected_bpe.parquet')"),
+
+    // tokenize + pack: the mirror independently re-trains the vocab,
+    // tokenizes in text order, and packs in (xxhash64(id), id) order
+    "q73_pack_sequences" ->
+      ("SELECT kind, seq_id, a, b, c " +
+        "FROM read_parquet('/root/repo/fixtures/expected_pack.parquet')"),
 
     // leakage audit: a pure SQL join of two independently-mirrored
     // fixtures (q25's pair set restricted to base ids is the base-only

@@ -211,6 +211,101 @@ object Bpe {
   def tokenCount(text: Column, vocab: Broadcast[Vocab]): Column =
     BpeWordCount.of(TextOps.tokens(text), vocab) +
       size(regexp_extract_all(text, lit("[^\\p{L}0-9'\\s]"), lit(0)))
+
+  /** Token-ID vocabulary: the merge list plus an explicit base
+    * alphabet, so tokenization can EMIT ids instead of counting.
+    * Id layout (deterministic, engine-agreed with the Python mirror):
+    *  - alphabet symbols (single code points, code-point-sorted) get
+    *    ids `0 .. A-1`;
+    *  - merge `r` (rank order) gets id `A + r` — ids are assigned by
+    *    the MERGE applied, not by string lookup, because two distinct
+    *    merges can produce the same string (("a","bc") and ("ab","c")
+    *    both yield "abc");
+    *  - any symbol outside the alphabet maps to `unkId = A + M` (text
+    *    tokenized against a vocab trained elsewhere).
+    */
+  final case class TokenVocab(alphabet: Seq[String],
+      merges: Seq[(String, String)]) extends Serializable {
+    val unkId: Int = alphabet.size + merges.size
+    @transient private[analysis] lazy val alphaIds: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](alphabet.size * 2)
+      alphabet.zipWithIndex.foreach { case (s, i) => m.put(s, Integer.valueOf(i)) }
+      m
+    }
+    @transient private[analysis] lazy val ranks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((a, b), r) =>
+        m.put(a + " " + b, r)
+      }
+      m
+    }
+    @transient private[analysis] lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+    /** Token ids of ONE word — [[Vocab.countWord]]'s loop carrying a
+      * parallel id array through the merges.
+      */
+    def idsOfWord(word: String): Array[Int] = {
+      val cached = memo.get(word)
+      if (cached != null) return cached
+      var syms = codePointStrings(word)
+      var ids = syms.map(s => alphaIds.getOrDefault(s, unkId).intValue())
+      var done = false
+      while (!done && syms.length >= 2) {
+        var bestRank = Int.MaxValue
+        var bestL: String = null
+        var bestR: String = null
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.get(syms(i) + " " + syms(i + 1))
+          if (r != null && r.intValue() < bestRank) {
+            bestRank = r.intValue(); bestL = syms(i); bestR = syms(i + 1)
+          }
+          i += 1
+        }
+        if (bestL == null) done = true
+        else {
+          val outS = Array.newBuilder[String]
+          val outI = Array.newBuilder[Int]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == bestL && syms(j + 1) == bestR) {
+              outS += bestL + bestR; outI += alphabet.size + bestRank; j += 2
+            } else { outS += syms(j); outI += ids(j); j += 1 }
+          }
+          syms = outS.result(); ids = outI.result()
+        }
+      }
+      if (memo.size < (1 << 16)) memo.put(word, ids)
+      ids
+    }
+  }
+
+  /** Distributed [[TokenVocab]] build: [[train]] for the merges, plus
+    * one distinct over the corpus's code points (lowered, minus the
+    * ASCII `\s` set — the same whitespace rule the tokenizers use) for
+    * the alphabet. The per-char explode collapses to the distinct set
+    * inside each map task (partial hash aggregation), so the shuffle
+    * and the collect are bounded by the alphabet size, not the corpus.
+    */
+  def buildTokenVocab(docs: DataFrame, text: Column, nMerges: Int,
+      maxWordTypes: Int = 100000): TokenVocab = {
+    import docs.sparkSession.implicits._
+    val merges = train(docs, text, nMerges, maxWordTypes).merges
+    val alpha = docs.select(explode_outer(regexp_extract_all(lower(text),
+        lit("[^ \\t\\n\\x0B\\f\\r]"), lit(0))).as("ch"))
+      .filter(col("ch").isNotNull).distinct().as[String].collect()
+    TokenVocab(alpha.sortWith(cpLess).toSeq, merges)
+  }
+
+  /** Full-text token IDS in text order (what [[tokenCount]] counts,
+    * [[Pack.packSequences]] consumes): fused scan of `lower(text)` —
+    * word runs (`[\p{L}0-9']+`, the [[TextOps.tokens]] class) BPE-merge
+    * to subword ids, every other non-ASCII-whitespace code point is one
+    * alphabet (or UNK) token.
+    */
+  def tokenIds(text: Column, vocab: Broadcast[TokenVocab]): Column =
+    BpeTokenIds.of(lower(text), vocab)
 }
 
 /** Sum of per-word BPE token counts over a word array, against a
@@ -258,4 +353,76 @@ case class BpeWordCount(child: Expression, vocab: Broadcast[Bpe.Vocab])
 object BpeWordCount {
   def of(words: Column, vocab: Broadcast[Bpe.Vocab]): Column =
     Bridge.column(BpeWordCount(Bridge.expression(words), vocab))
+}
+
+/** Token IDS of a full (already-lowered) text, in text order — the
+  * emitting sibling of [[BpeWordCount]], against a broadcast
+  * [[Bpe.TokenVocab]]. One code-point scan: word runs ([\p{L}0-9']+,
+  * matching `Character.isLetter` + ASCII digits + apostrophe) merge to
+  * subword ids via [[Bpe.TokenVocab.idsOfWord]]; ASCII whitespace
+  * (space, tab, LF, VT, FF, CR — the Java regex `\s` set) separates;
+  * every OTHER code point (punctuation, and e.g. NBSP, which Java `\s`
+  * does not match) is one alphabet-or-UNK token. `size(tokenIds) ==
+  * tokenCount` by construction (a spec pins it). The child must be
+  * pre-lowered ([[Bpe.tokenIds]] wraps `lower(text)`) so word
+  * detection uses Spark's own lowering, like [[TextOps.tokens]].
+  */
+case class BpeTokenIds(child: Expression, vocab: Broadcast[Bpe.TokenVocab])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_token_ids"
+
+  @transient private lazy val v: Bpe.TokenVocab = vocab.value
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("bpeIds", this)
+      s"${ev.value} = $ref.evalCore($c);"
+    })
+
+  override def nullSafeEval(text: Any): Any =
+    evalCore(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  private def isWordCp(cp: Int): Boolean =
+    Character.isLetter(cp) || (cp >= '0' && cp <= '9') || cp == '\''
+
+  private def isAsciiWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' ||
+      cp == '\r'
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(low: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = low.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Int](s.length / 4 + 4)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isAsciiWs(cp)) i += w
+      else if (isWordCp(cp)) {
+        var j = i + w
+        while (j < s.length && isWordCp(s.codePointAt(j))) {
+          j += Character.charCount(s.codePointAt(j))
+        }
+        out ++= v.idsOfWord(s.substring(i, j))
+        i = j
+      } else {
+        out += v.alphaIds
+          .getOrDefault(new String(Character.toChars(cp)), v.unkId).intValue()
+        i += w
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeTokenIds {
+  def of(loweredText: Column, vocab: Broadcast[Bpe.TokenVocab]): Column =
+    Bridge.column(BpeTokenIds(Bridge.expression(loweredText), vocab))
 }

@@ -843,6 +843,100 @@ class AnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE token ids: worked example, merge-rank layout, UNK, size == tokenCount") {
+    import graft.analysis.Bpe
+    val merges = Bpe.trainFromCounts(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4).merges
+    // alphabet ids 0..10: , d e i l n o r s t w; merges 11..14; UNK 15
+    val v = Bpe.TokenVocab(Seq(",", "d", "e", "i", "l", "n", "o", "r",
+      "s", "t", "w"), merges)
+    assert(v.unkId == 15)
+    assert(v.idsOfWord("low").toSeq == Seq(14)) // merge rank 3 -> 11+3
+    assert(v.idsOfWord("lowest").toSeq == Seq(14, 12)) // low + est
+    assert(v.idsOfWord("newest").toSeq == Seq(5, 2, 10, 12))
+    assert(v.idsOfWord("the").toSeq == Seq(9, 15, 2)) // h is UNK
+    val bc = spark.sparkContext.broadcast(v)
+    // scan order interleaves words and symbols; '!' and NBSP (not
+    // ASCII \s, so a symbol) are UNK; uppercase lowers first
+    val got = Seq("Low, lowest!", "w w", null).toDF("t")
+      .select(Bpe.tokenIds(col("t"), bc).as("ids"))
+      .as[Option[Seq[Int]]].collect().toSeq
+    assert(got == Seq(Some(Seq(14, 0, 14, 12, 15)),
+      Some(Seq(10, 15, 10)), None), s"got $got")
+    // over a real corpus with its own trained vocab: the emitting
+    // scanner and the counting twin agree everywhere
+    val docs = documents.select(col("doc_id"), col("text"))
+    val tv = spark.sparkContext.broadcast(
+      Bpe.buildTokenVocab(docs, col("text"), nMerges = 50))
+    val cv = spark.sparkContext.broadcast(
+      Bpe.train(docs, col("text"), nMerges = 50))
+    val off = docs.select(size(Bpe.tokenIds(col("text"), tv))
+        .as("a"), Bpe.tokenCount(col("text"), cv).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(off == 0, s"$off docs where size(tokenIds) != tokenCount")
+    // every id is in range; UNK never fires when the vocab was built
+    // on the same corpus
+    val bad = docs.select(explode_outer(Bpe.tokenIds(col("text"), tv)).as("id"))
+      .filter(col("id").isNull || col("id") < 0 ||
+        col("id") >= tv.value.unkId).count()
+    assert(bad == 0, s"$bad out-of-range/UNK ids on the training corpus")
+  }
+
+  test("packSequences: exact tiling, provenance spans, repartition invariance") {
+    import graft.analysis.{Bpe, Pack}
+    val docs = documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 40)
+    val vocab = spark.sparkContext.broadcast(
+      Bpe.buildTokenVocab(docs, col("text"), nMerges = 30))
+    val L = 7 // tiny so most docs cross sequence boundaries
+    val packed = Pack.packSequences(docs, col("doc_id"), col("text"), vocab, L)
+      .orderBy("seq_id")
+      .as[(Long, Seq[Int], Seq[(Long, Int, Int)])].collect().toSeq
+    // the reference stream: per-doc token ids concatenated in
+    // (xxhash64(doc_id), doc_id) order
+    val perDoc = docs.select(col("doc_id"), xxhash64(col("doc_id")).as("ord"),
+        Bpe.tokenIds(col("text"), vocab).as("ids"))
+      .as[(Long, Long, Seq[Int])].collect().sortBy(r => (r._2, r._1))
+      .filter(_._3.nonEmpty)
+    val stream = perDoc.flatMap(_._3).toSeq
+    assert(stream.nonEmpty && stream.size > 3 * L, "vacuous corpus")
+    // contiguous seq ids; every sequence full except possibly the last
+    assert(packed.map(_._1) == packed.indices.map(_.toLong))
+    packed.init.foreach(p => assert(p._2.size == L, s"short seq ${p._1}"))
+    assert(packed.last._2.size <= L && packed.last._2.nonEmpty)
+    // concatenating the sequences reproduces the stream exactly
+    assert(packed.flatMap(_._2) == stream)
+    // spans tile each sequence: start 0, contiguous, lengths sum to
+    // the token count, and each span's slice equals its doc's slice
+    val docIds = perDoc.map(r => r._1 -> r._3).toMap
+    val consumed = scala.collection.mutable.Map[Long, Int]()
+    packed.foreach { case (_, ids, spans) =>
+      assert(spans.head._2 == 0)
+      spans.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 == a._2 + a._3, "span gap")
+        case _ =>
+      }
+      assert(spans.map(_._3).sum == ids.size)
+      spans.foreach { case (doc, start, len) =>
+        val done = consumed.getOrElse(doc, 0)
+        assert(ids.slice(start, start + len) ==
+          docIds(doc).slice(done, done + len), s"span content $doc")
+        consumed(doc) = done + len
+      }
+    }
+    consumed.foreach { case (doc, n) =>
+      assert(n == docIds(doc).size, s"doc $doc not fully packed")
+    }
+    // layout invariance: a different input partitioning packs
+    // byte-identically (offsets derive from the total order, not from
+    // partition boundaries)
+    val repacked = Pack.packSequences(docs.repartition(13), col("doc_id"),
+        col("text"), vocab, L)
+      .orderBy("seq_id")
+      .as[(Long, Seq[Int], Seq[(Long, Int, Int)])].collect().toSeq
+    assert(repacked == packed)
+  }
+
   test("release: curate -> decontaminate -> quota -> split composes end-to-end") {
     val docs = documents.select(col("doc_id"), col("text"), col("source"))
     val bench = docs.filter(col("doc_id") < 5).select(col("text"))
