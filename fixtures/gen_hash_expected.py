@@ -23,6 +23,7 @@ Writes (all under fixtures/):
     expected_release.parquet  (doc_id, source, n_tokens,
                                split)                         for q64
     expected_bpe.parquet      (doc_id, n_bpe)                 for q65
+    expected_runs.parquet     (doc_id, start, len)            for q74
 
 Mirrored semantics (kept in lockstep with graft.analysis.TextOps — the
 constants here ARE the spec):
@@ -523,6 +524,47 @@ def main(sf_dir):
         off += n
     write(con, "expected_pack",
           "kind VARCHAR, seq_id BIGINT, a BIGINT, b BIGINT, c BIGINT", rows)
+
+    # q74: exact-substring (verbatim-run) dedup — BRUTE FORCE and
+    # collision-free: count minRun-token TUPLES (no hashing) corpus-wide
+    # over documents + planted verbatim copies (15 tokens [5:20] of each
+    # donor doc with >= 25 tokens among ids 0..14, wrapped in unique
+    # pre/post padding, ids +8000000); flag positions whose tuple count
+    # is >= 2; merge each doc's sorted flagged positions into maximal
+    # intervals (chain while p <= current end = last chained p + minRun).
+    # Spark counts 64-bit xxhash64 shingle hashes instead of tuples, so
+    # a green q74 also certifies no hash collision fired at this scale.
+    minrun = 10
+    run_docs = dict(base)
+    for i, t in base.items():
+        if i < 15:
+            tk = tokens(t)
+            if len(tk) >= 25:
+                run_docs[i + 8000000] = (
+                    "pre%d " % i + " ".join(tk[5:20]) + " post%d" % i)
+    run_toks = {i: tokens(t) for i, t in run_docs.items()}
+    freq = {}
+    for tk in run_toks.values():
+        for p in range(len(tk) - minrun + 1):
+            g = tuple(tk[p:p + minrun])
+            freq[g] = freq.get(g, 0) + 1
+    rows = []
+    for i in sorted(run_toks):
+        tk = run_toks[i]
+        cur = None
+        for p in range(len(tk) - minrun + 1):
+            if freq[tuple(tk[p:p + minrun])] < 2:
+                continue
+            if cur is not None and p <= cur[1]:
+                cur = (cur[0], p + minrun)
+            else:
+                if cur is not None:
+                    rows.append((i, cur[0], cur[1] - cur[0]))
+                cur = (p, p + minrun)
+        if cur is not None:
+            rows.append((i, cur[0], cur[1] - cur[0]))
+    write(con, "expected_runs", "doc_id BIGINT, start INTEGER, len INTEGER",
+          rows)
 
 
 if __name__ == "__main__":

@@ -761,6 +761,30 @@ object SparkEntry {
           col("id_a"), col("id_b"), col("jaccard")))
     }),
 
+    "q74_duplicated_runs" -> ((s, d) => {
+      // exact-substring (verbatim-run) dedup: maximal token runs
+      // duplicated anywhere in the corpus. Corpus = documents +
+      // planted verbatim copies (15 tokens of each early donor doc
+      // inside unique pre/post padding, ids +8000000); the corpus's
+      // small shared vocabulary also yields abundant ORGANIC
+      // duplicated 10-grams, so the oracle exercises interval merging
+      // far beyond the plants. Hash-checked against the Python
+      // mirror's COLLISION-FREE brute-force tuple counting
+      // (fixtures/gen_hash_expected.py) — a green hash also certifies
+      // no 64-bit shingle-hash collision fired at this scale.
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = base
+        .filter(col("doc_id") < 15 &&
+          size(TextOps.tokens(col("text"))) >= 25)
+        .select((col("doc_id") + 8000000).as("doc_id"),
+          concat_ws(" ", concat(lit("pre"), col("doc_id")),
+            concat_ws(" ",
+              slice(TextOps.tokens(col("text")), 6, 15)),
+            concat(lit("post"), col("doc_id"))).as("text"))
+      TextOps.duplicatedRuns(base.unionByName(planted), col("doc_id"),
+        col("text"), minRun = 10)
+    }),
+
     "q48_dedup_cascade" -> ((s, d) => {
       // exact -> near dedup composition: a 500-strong identical cluster
       // (plus q25's injected near-dups) must collapse in the exact
@@ -1305,6 +1329,13 @@ object SparkEntry {
     "q72_incremental_dedup" ->
       ("SELECT kind, id_a, id_b, jaccard " +
         "FROM read_parquet('/root/repo/fixtures/expected_incremental.parquet')"),
+
+    // exact-substring dedup: the mirror brute-force counts minRun-token
+    // TUPLES (collision-free, no hashing) and merges intervals with the
+    // same chain rule (gen_hash_expected.py)
+    "q74_duplicated_runs" ->
+      ("SELECT doc_id, \"start\", \"len\" " +
+        "FROM read_parquet('/root/repo/fixtures/expected_runs.parquet')"),
 
     // real BPE: the mirror independently re-trains the merge list and
     // greedy-applies it (gen_hash_expected.py)

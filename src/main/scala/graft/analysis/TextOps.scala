@@ -1410,4 +1410,71 @@ object TextOps {
       .join(result.keepers.select(col("doc_id").as("id")), Seq("id"),
         "left_semi")
       .write.mode("append").parquet(s"$baseDir/minhash_base")
+
+  // ---- exact-substring (verbatim-run) dedup ----------------------------
+  /** Maximal verbatim token runs duplicated ANYWHERE in the corpus —
+    * the published substring-level pass (flag/excise long verbatim
+    * runs, the suffix-array dedup of Lee et al. 2022) re-expressed as
+    * stride-1 shingling: a shared run of R >= `minRun` tokens is
+    * exactly a chain of R - minRun + 1 consecutive positions whose
+    * minRun-gram hashes each occur >= 2 times corpus-wide (intra-doc
+    * repeats included — a doc that repeats its own passage is flagged
+    * too). Per doc, flagged positions merge into maximal intervals
+    * (positions p, p' chain iff p' <= p + minRun, i.e. their windows
+    * overlap or touch), so a planted R-token copy comes back as ONE
+    * (start, len=R) run with exact boundaries.
+    *
+    * Returns (doc_id, start, len) in TOKEN coordinates
+    * ([[tokens]]-array indices, 0-based) — run lengths are always
+    * >= minRun. Excision/flag policy is the caller's (drop the doc,
+    * cut the range, weight it down).
+    *
+    * Scale shape: the hashes frame carries (doc_id, pos, 8-byte hash)
+    * — never text; the frequency filter is a partial-agg groupBy on
+    * the hash; the run-merge is ONE groupBy(doc) whose collect_list
+    * is bounded by the doc's own length ([[reassemble]]'s argument)
+    * and merges via a HOF `aggregate` over the sorted positions.
+    * Hashing is `xxhash64(concat_ws(" ", window))` per position —
+    * O(n * minRun) per doc inside codegen (a fused Karp-Rabin rolling
+    * hash would be O(n); at minRun <= ~50 the HOF form stays cheap and
+    * keeps the no-custom-kernel surface). 64-bit collisions can
+    * over-flag a position (never under-flag); the mirror oracle
+    * compares against COLLISION-FREE tuple counting, so the green q74
+    * hash is also evidence no collision fired at this scale.
+    */
+  def duplicatedRuns(docs: DataFrame, id: Column, text: Column,
+      minRun: Int = 10, staging: Option[String] = None,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    val toked = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .filter(col("nt") >= minRun)
+    // (doc_id, pos, h): one row per stride-1 window. Barrier: consumed
+    // by the frequency count AND the flag join.
+    val sh = Staging.materialize(
+      toked
+        .select(col("doc_id"), posexplode_outer(transform(
+          sequence(lit(0), col("nt") - minRun),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(minRun)))))))
+        .toDF("doc_id", "pos", "h"),
+      staging, "run_hashes", scope)
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val flagged = sh.join(dup.select(col("h")), Seq("h"), "left_semi")
+    val mergedT = "array<struct<s:int,e:int>>"
+    flagged.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), explode_outer(aggregate(
+        col("ps"), lit(null).cast(mergedT),
+        (acc, p) => when(acc.isNull,
+            array(struct(p.as("s"), (p + minRun).as("e"))))
+          .when(p <= element_at(acc, -1)("e"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(element_at(acc, -1)("s").as("s"),
+                (p + minRun).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(p.as("s"), (p + minRun).as("e"))))))).as("run"))
+      .select(col("doc_id"), col("run.s").as("start"),
+        (col("run.e") - col("run.s")).as("len"))
+  }
 }

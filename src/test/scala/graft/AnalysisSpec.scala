@@ -937,6 +937,65 @@ class AnalysisSpec extends AnyFunSuite {
     assert(repacked == packed)
   }
 
+  test("duplicatedRuns: exact boundaries, maximal merge, intra-doc repeats") {
+    // doc 1 = 20 unique tokens; doc 2 copies doc 1's tokens 5..14
+    // verbatim inside unique padding; doc 3 repeats its own 5-gram;
+    // doc 4 shares nothing
+    val w = (0 until 20).map(i => s"w$i")
+    val run10 = w.slice(5, 15)
+    val docs = Seq(
+      (1L, w.mkString(" ")),
+      (2L, ("pad1 pad2 pad3 " + run10.mkString(" ") + " pad4 pad5 pad6")),
+      (3L, "r1 r2 r3 r4 r5 gap1 gap2 gap3 gap4 gap5 gap6 r1 r2 r3 r4 r5"),
+      (4L, (20 until 40).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val runs = TextOps.duplicatedRuns(docs, col("doc_id"), col("text"),
+        minRun = 5)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    // maximal merge: six flagged positions (5..10 / 3..8) collapse to
+    // ONE run of exactly the copied 10 tokens; doc 3's self-repeat
+    // yields both occurrences; doc 4 is silent
+    assert(runs == Seq((1L, 5, 10), (2L, 3, 10), (3L, 0, 5), (3L, 11, 5)),
+      s"got $runs")
+    // runs never under-cover: raising minRun above the copy hides it
+    assert(TextOps.duplicatedRuns(docs, col("doc_id"), col("text"),
+      minRun = 11).count() == 0)
+    // adjacent windows TOUCHING (p' == p + minRun) merge: a 2x-minRun
+    // copy is one run, not two
+    val docs2 = Seq(
+      (1L, (0 until 10).map(i => s"c$i").mkString(" ")),
+      (2L, "x1 x2 " + (0 until 10).map(i => s"c$i").mkString(" ") + " x3")
+    ).toDF("doc_id", "text")
+    val r2 = TextOps.duplicatedRuns(docs2, col("doc_id"), col("text"),
+        minRun = 5)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(r2 == Seq((1L, 0, 10), (2L, 2, 10)), s"got $r2")
+  }
+
+  test("duplicatedRuns: staged mode matches, shuffles carry no text") {
+    val w = (0 until 20).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),
+      (2L, ("pad1 pad2 pad3 " + w.slice(5, 15).mkString(" ") + " pad4"))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-runs-").toString
+    val staged = TextOps.duplicatedRuns(docs, col("doc_id"), col("text"),
+      minRun = 5, staging = Some(dir))
+    val got = staged.as[(Long, Int, Int)].collect().toSeq.sorted
+    val cached = TextOps.duplicatedRuns(docs, col("doc_id"), col("text"),
+        minRun = 5)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(got == cached, s"staged $got != cached $cached")
+    // the corpus-wide frame every downstream exchange reads is
+    // (doc_id, pos, 8-byte hash) — never text; with the parquet
+    // barrier the whole post-staging plan resolves no text column
+    val sh = spark.read.parquet(s"$dir/run_hashes")
+    assert(sh.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("doc_id", "long"), ("pos", "integer"), ("h", "long")))
+    assert(!staged.queryExecution.executedPlan.toString.contains("text"),
+      "post-staging plan must not reference the text column")
+  }
+
   test("release: curate -> decontaminate -> quota -> split composes end-to-end") {
     val docs = documents.select(col("doc_id"), col("text"), col("source"))
     val bench = docs.filter(col("doc_id") < 5).select(col("text"))
