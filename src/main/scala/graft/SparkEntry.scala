@@ -785,6 +785,30 @@ object SparkEntry {
         col("text"), minRun = 10)
     }),
 
+    "q75_lang_id" -> ((s, d) => {
+      // 26-language char-trigram classifier (fused LangNgramScores over
+      // the broadcast profile table) over documents + three synthetic
+      // docs per language built from the language's own word list
+      // (rotated by rep, doubled — self-classification is guaranteed by
+      // the L2-normalized cosine argmax). The Python mirror re-derives
+      // the profiles from fixtures/lang_profiles.json (dumped from the
+      // same Scala word table) and re-scores independently
+      // (fixtures/gen_lang_expected.py).
+      import s.implicits._
+      import graft.analysis.{LangId, LangProfiles}
+      val bc = LangProfiles.broadcastTable(s)
+      val synth = LangProfiles.Words.zipWithIndex.flatMap {
+        case ((_, ws), li) =>
+          (0 until 3).map { rep =>
+            val rot = ws.drop(rep) ++ ws.take(rep)
+            (9000000L + li * 10L + rep, (rot ++ rot).mkString(" "))
+          }
+      }.toDF("doc_id", "text")
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(synth)
+        .select(col("doc_id"), LangId.predict(col("text"), bc).as("lang_pred"))
+    }),
+
     "q48_dedup_cascade" -> ((s, d) => {
       // exact -> near dedup composition: a 500-strong identical cluster
       // (plus q25's injected near-dups) must collapse in the exact
@@ -1336,6 +1360,13 @@ object SparkEntry {
     "q74_duplicated_runs" ->
       ("SELECT doc_id, \"start\", \"len\" " +
         "FROM read_parquet('/root/repo/fixtures/expected_runs.parquet')"),
+
+    // char-n-gram language ID: the mirror re-derives the trigram
+    // profiles from the dumped word lists and re-scores independently
+    // (gen_lang_expected.py + lang_profiles.json)
+    "q75_lang_id" ->
+      ("SELECT doc_id, lang_pred " +
+        "FROM read_parquet('/root/repo/fixtures/expected_langid.parquet')"),
 
     // real BPE: the mirror independently re-trains the merge list and
     // greedy-applies it (gen_hash_expected.py)

@@ -133,7 +133,7 @@ object TextOps {
   /** argmax with declaration-order tiebreak, expression-only — shared
     * by the regex scores and the fused [[CurationFeatures]] fields.
     */
-  private def langArgmax(scores: Seq[(String, Column)]): Column =
+  private[analysis] def langArgmax(scores: Seq[(String, Column)]): Column =
     scores.tail.foldLeft(
       struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
       case (acc, (l, s)) =>
@@ -871,11 +871,12 @@ object TextOps {
     * DuckDB-oracled (q59). Consumers derive ratios (avg tokens,
     * en-fraction) from the exact fields.
     */
-  def corpusStats(docs: DataFrame, source: Column, text: Column): DataFrame =
+  def corpusStats(docs: DataFrame, source: Column, text: Column,
+      langId: Column => Column = langIdBest): DataFrame =
     docs.select(source.as("source"), text.as("text"))
       .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("n_chars", length(col("text")))
-      .withColumn("lang", langIdBest(col("text")))
+      .withColumn("lang", langId(col("text")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
@@ -900,9 +901,11 @@ object TextOps {
     */
   def curationFilter(docs: DataFrame, id: Column, text: Column,
       lang: String = "en", minTokens: Int = 30,
-      maxPunctRatio: Double = 0.2, fused: Boolean = true): DataFrame =
+      maxPunctRatio: Double = 0.2, fused: Boolean = true,
+      langId: Option[Column => Column] = None): DataFrame =
     dedupStaged(
-      curationStage(docs, id, text, lang, minTokens, maxPunctRatio, fused),
+      curationStage(docs, id, text, lang, minTokens, maxPunctRatio, fused,
+        langId),
       docs, id, text).drop("text")
 
   /** Exact-dedup a hygiene-FILTERED projection without paying the
@@ -940,7 +943,8 @@ object TextOps {
     */
   private def curationStage(docs: DataFrame, id: Column, text: Column,
       lang: String, minTokens: Int, maxPunctRatio: Double,
-      fused: Boolean = true): DataFrame = {
+      fused: Boolean = true,
+      langId: Option[Column => Column] = None): DataFrame = {
     val featured =
       if (fused) {
         // one fused walk instead of seven regex passes; byte-identical
@@ -965,7 +969,14 @@ object TextOps {
             col("f.n_tokens").as("n_tokens"),
             col("f.punct_ratio").as("punct_ratio"))
       }
-    featured.filter(col("lang_pred") === lang && col("n_tokens") >= minTokens &&
+    // pluggable language classifier (e.g. the 26-language char-n-gram
+    // [[LangId]]); MUST stay a pure function of the text column — the
+    // dedupStaged keeper rule above depends on it (see the INVARIANT)
+    val classified = langId match {
+      case Some(f) => featured.withColumn("lang_pred", f(col("text")))
+      case None => featured
+    }
+    classified.filter(col("lang_pred") === lang && col("n_tokens") >= minTokens &&
       col("punct_ratio") <= maxPunctRatio)
   }
 
@@ -998,9 +1009,11 @@ object TextOps {
       exactClusters: Boolean = false,
       staging: Option[String] = None,
       scope: CacheScope = CacheScope.unmanaged,
-      fused: Boolean = true): CurationResult = {
+      fused: Boolean = true,
+      langId: Option[Column => Column] = None): CurationResult = {
     val staged =
-      curationStage(docs, id, text, lang, minTokens, maxPunctRatio, fused)
+      curationStage(docs, id, text, lang, minTokens, maxPunctRatio, fused,
+        langId)
     // keepers feed BOTH the near-dup join and the final anti-join:
     // materialize so the regex-heavy hygiene projection and the
     // exact-dedup shuffle run once (default cache, lifecycle is the

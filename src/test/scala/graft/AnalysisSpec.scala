@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.analysis.{TextOps, VectorOps}
+import graft.analysis.{LangId, LangProfiles, TextOps, VectorOps}
 
 /** Semantic checks for the training-data ops (beyond the DuckDB oracle
   * queries): MinHash-LSH recall on injected near-dups, ANN consistency
@@ -970,6 +970,88 @@ class AnalysisSpec extends AnyFunSuite {
         minRun = 5)
       .as[(Long, Int, Int)].collect().toSeq.sorted
     assert(r2 == Seq((1L, 0, 10), (2L, 2, 10)), s"got $r2")
+  }
+
+  test("langId: every language self-classifies; und on zero-score text") {
+    val bc = LangProfiles.broadcastTable(spark)
+    val synth = LangProfiles.Words.map { case (l, ws) =>
+      (l, (ws ++ ws).mkString(" "))
+    }.toDF("lang", "text")
+    val got = synth.select(col("lang"),
+        LangId.predict(col("text"), bc).as("pred"))
+      .as[(String, String)].collect()
+    got.foreach { case (l, p) => assert(p == l, s"$l classified as $p") }
+    // no letters / nothing shared with any profile -> und, not a
+    // first-declared-language false positive
+    val und = Seq("", "12345 !!! 67", "   ").toDF("text")
+      .select(LangId.predict(col("text"), bc)).as[String].collect()
+    assert(und.forall(_ == "und"), s"got ${und.mkString(",")}")
+    // null text stays null (UnaryExpression null contract)
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(LangId.scores(col("text"), bc)).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("fused LangNgramScores == HOF literal twin, byte-identical") {
+    val bc = LangProfiles.broadcastTable(spark)
+    val texts = LangProfiles.Words.map { case (_, ws) =>
+      (ws ++ ws.take(5)).mkString(", ") + ". 42!"
+    } ++ Seq("", "No letters: 123 456?", "Mixed das les the και по text",
+      "ACCENTS: Été übrig ñandú ÇA — größer",
+      documents.orderBy("doc_id").limit(3).select("text")
+        .as[String].collect().mkString(" "))
+    val df = texts.toDF("text")
+    val fused = df.select(LangId.scores(col("text"), bc))
+      .as[Seq[Double]].collect()
+    val hof = df.select(LangId.scoresHof(col("text")))
+      .as[Seq[Double]].collect()
+    assert(fused.length == hof.length)
+    fused.zip(hof).zipWithIndex.foreach { case ((f, h), i) =>
+      assert(f == h, s"row $i (${texts(i).take(40)}): fused $f != hof $h")
+    }
+  }
+
+  test("lang profile table rides as a broadcast, not a plan literal") {
+    val bc = LangProfiles.broadcastTable(spark)
+    val df = Seq("the quick brown fox").toDF("text")
+    // marker: the weight of English's ' th' trigram — present in the
+    // HOF twin's embedded map literal, absent from the fused plan
+    val marker = LangProfiles.profiles.head._2(" th").toString.take(12)
+    val hofPlan = df.select(LangId.scoresHof(col("text")))
+      .queryExecution.optimizedPlan.toString
+    assert(hofPlan.contains(marker) && !hofPlan.contains("lang_ngram_scores"))
+    val fusedPlan = df.select(LangId.scores(col("text"), bc))
+      .queryExecution.optimizedPlan.toString
+    assert(fusedPlan.contains("lang_ngram_scores"))
+    assert(!fusedPlan.contains(marker),
+      s"fused lang plan embeds profile literal $marker")
+  }
+
+  test("corpusStats and curate accept a pluggable language classifier") {
+    val bc = LangProfiles.broadcastTable(spark)
+    val ngram: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => LangId.predict(t, bc)
+    val fr = LangProfiles.Words.find(_._1 == "fr").get._2
+    val ru = LangProfiles.Words.find(_._1 == "ru").get._2
+    val docs = Seq(
+      (1L, "a.fr", (fr ++ fr).mkString(" ")),
+      (2L, "b.ru", (ru ++ ru).mkString(" "))).toDF("doc_id", "source", "text")
+    val stats = TextOps.corpusStats(docs, col("source"), col("text"),
+        langId = ngram)
+      .select(col("source"), col("n_langs")).as[(String, Long)].collect().toMap
+    assert(stats == Map("a.fr" -> 1L, "b.ru" -> 1L))
+    // the n-gram classifier gates curation: French docs pass lang="fr"
+    // (the 4-language marker default would also match here; the point
+    // is the parameter routes the verdict through the classifier)
+    val kept = TextOps.curationFilter(docs, col("doc_id"), col("text"),
+        lang = "fr", minTokens = 10, maxPunctRatio = 1.0,
+        langId = Some(ngram))
+      .select(col("doc_id"), col("lang_pred")).as[(Long, String)].collect()
+    assert(kept.toSeq == Seq((1L, "fr")), s"got ${kept.mkString(",")}")
+    // full curate() takes the same parameter
+    val cur = TextOps.curate(docs, col("doc_id"), col("text"), lang = "ru",
+      minTokens = 10, maxPunctRatio = 1.0, langId = Some(ngram))
+    assert(cur.kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
   test("duplicatedRuns: staged mode matches, shuffles carry no text") {
