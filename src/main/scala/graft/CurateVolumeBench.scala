@@ -142,6 +142,34 @@ object CurateVolumeBench {
         r.contaminated.count(), r.hotBuckets.count())
     }
 
+    // ---- incremental snapshot-vs-base dedup: snapshot-2 cost must be
+    // O(new docs), not O(corpus). Base = the STAGED minhash base the
+    // curate above already wrote (read back, never recomputed — the
+    // q72 contract); TWO snapshot sizes (nDocs/40 and nDocs/20) show
+    // the wall tracks the snapshot size against a base 20-40x larger.
+    // 10% of each snapshot near-dups a distinct base background doc
+    // (its 50-token window + one extra token, ~0.9 Jaccard); the rest
+    // are fresh windows from an offset range disjoint from every base
+    // doc and from each other. Counts are pure functions of the ids
+    // (band recall at j~0.9 included), so reruns must reproduce them.
+    def snapshot(nNew: Long): DataFrame =
+      spark.range(nNew).select((col("id") + 2000000000L).as("doc_id"),
+        when(pmod(col("id"), lit(10)) === 0,
+          concat(
+            windowText((col("id") + nClones + nChain + 1000L) * 50),
+            lit(" extradup")))
+          .otherwise(windowText((col("id") + 3000000L) * 50)).as("text"))
+    val incStats = Seq(nDocs / 40, nDocs / 20).map { nNew =>
+      val ((nKeep, nCross, nNewPairs), sec, steal) = timed {
+        val r = TextOps.dedupAgainstBase(snapshot(nNew), col("doc_id"),
+          col("text"), curateDir, staging = Some(s"$workDir/inc_$nNew"))
+        (r.keepers.count(), r.crossPairs.count(), r.newPairs.count())
+      }
+      s""""inc_${nNew}_sec":${f(sec)},"inc_${nNew}_steal_pct":${f(steal)},""" +
+        s""""inc_${nNew}_keepers":$nKeep,"inc_${nNew}_cross":$nCross,""" +
+        s""""inc_${nNew}_new_pairs":$nNewPairs"""
+    }
+
     val json =
       s"""{"n_docs":$nDocs,"n_clones":$nClones,"n_chain":$nChain,""" +
       s""""curate_sec":${f(curateSec)},"curate_steal_pct":${f(curateSteal)},""" +
@@ -157,7 +185,8 @@ object CurateVolumeBench {
       s""""release_train":${bySplit.getOrElse("train", 0L)},""" +
       s""""release_val":${bySplit.getOrElse("val", 0L)},""" +
       s""""release_test":${bySplit.getOrElse("test", 0L)},""" +
-      s""""release_contaminated":$nContam,"release_hot_buckets":$relHot}"""
+      s""""release_contaminated":$nContam,"release_hot_buckets":$relHot,""" +
+      incStats.mkString(",") + "}"
     println(json)
     spark.stop()
   }
