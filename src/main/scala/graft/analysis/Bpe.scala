@@ -235,7 +235,7 @@ object Bpe {
     @transient private[analysis] lazy val ranks: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](merges.size * 2)
       merges.zipWithIndex.foreach { case ((a, b), r) =>
-        m.put(a + " " + b, r)
+        m.put(a + "\u0000" + b, r)
       }
       m
     }
@@ -257,7 +257,7 @@ object Bpe {
         var bestR: String = null
         var i = 0
         while (i < syms.length - 1) {
-          val r = ranks.get(syms(i) + " " + syms(i + 1))
+          val r = ranks.get(syms(i) + "\u0000" + syms(i + 1))
           if (r != null && r.intValue() < bestRank) {
             bestRank = r.intValue(); bestL = syms(i); bestR = syms(i + 1)
           }
