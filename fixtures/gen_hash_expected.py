@@ -455,7 +455,10 @@ def main(sf_dir):
     ranks = {p: i for i, p in enumerate(merges)}
     write(con, "expected_bpe", "doc_id BIGINT, n_bpe INTEGER",
           sorted((i, sum(bpe_count_word(w, ranks) for w in tokens(t))
-                  + len(SYMBOL_RE.findall(t)))
+                  # symbols scan lower(t) — the same string tokenIds
+                  # walks, so count == len(ids) even when lowering
+                  # expands a code point (Bpe.tokenCount mirrors this)
+                  + len(SYMBOL_RE.findall(t.lower())))
                  for i, t in base.items()))
 
     # q73: tokenize + pack — mirrors Bpe.TokenVocab/BpeTokenIds/

@@ -94,17 +94,18 @@ def main(sf_dir):
             docs[9000000 + li * 10 + rep] = " ".join(rot + rot)
 
     rows = [(i, predict(t)) for i, t in sorted(docs.items())]
+    # sanity BEFORE writing: every synthetic doc must classify as its
+    # own language (guaranteed by the L2-normalized cosine argmax) — a
+    # failing run must not leave a fresh plausible-looking fixture
+    bad = [(i, p) for i, p in rows
+           if i >= 9000000 and p != langs[(i - 9000000) // 10]]
+    if bad:
+        raise SystemExit(f"self-classification failed: {bad[:5]}")
     con.execute("CREATE TABLE t (doc_id BIGINT, lang_pred VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     out = os.path.join(HERE, "expected_langid.parquet")
     con.execute(f"COPY t TO '{out}' (FORMAT PARQUET)")
     print(f"wrote {len(rows):6d} rows to expected_langid.parquet")
-    # sanity: every synthetic doc must classify as its own language
-    # (guaranteed by the L2-normalized cosine argmax)
-    bad = [(i, p) for i, p in rows
-           if i >= 9000000 and p != langs[(i - 9000000) // 10]]
-    if bad:
-        raise SystemExit(f"self-classification failed: {bad[:5]}")
 
 
 if __name__ == "__main__":

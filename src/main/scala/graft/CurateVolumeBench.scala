@@ -152,13 +152,19 @@ object CurateVolumeBench {
     // are fresh windows from an offset range disjoint from every base
     // doc and from each other. Counts are pure functions of the ids
     // (band recall at j~0.9 included), so reruns must reproduce them.
+    // fresh offsets start past EVERY base background offset
+    // ((id + 1000) * 50 for id < nDocs), so they stay disjoint at any
+    // nDocs; the clone stream offset (1e10) is only reachable past
+    // ~190M docs, far above what this single-node artifact runs
+    require(nDocs + 1000000L < 190000000L,
+      s"snapshot offsets would collide with the clone stream at $nDocs docs")
     def snapshot(nNew: Long): DataFrame =
       spark.range(nNew).select((col("id") + 2000000000L).as("doc_id"),
         when(pmod(col("id"), lit(10)) === 0,
           concat(
             windowText((col("id") + nClones + nChain + 1000L) * 50),
             lit(" extradup")))
-          .otherwise(windowText((col("id") + 3000000L) * 50)).as("text"))
+          .otherwise(windowText((col("id") + nDocs + 1000000L) * 50)).as("text"))
     val incStats = Seq(nDocs / 40, nDocs / 20).map { nNew =>
       val ((nKeep, nCross, nNewPairs), sec, steal) = timed {
         val r = TextOps.dedupAgainstBase(snapshot(nNew), col("doc_id"),

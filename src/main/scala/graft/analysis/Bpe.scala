@@ -206,11 +206,16 @@ object Bpe {
 
   /** Full-text BPE token count: fused per-word counts over the word
     * array + the symbol tokens (one per non-word non-space char, the
-    * `bpeishTokenCount` rule).
+    * `bpeishTokenCount` rule). The symbol scan runs over `lower(text)`
+    * — the SAME string [[tokenIds]] walks — so `size(tokenIds) ==
+    * tokenCount` holds by construction even for code points whose
+    * lowercase EXPANDS (U+0130 'İ' lowers to "i" + combining U+0307,
+    * a non-letter that both paths then count as one symbol token; a
+    * raw-text scan would see one letter and zero symbols).
     */
   def tokenCount(text: Column, vocab: Broadcast[Vocab]): Column =
     BpeWordCount.of(TextOps.tokens(text), vocab) +
-      size(regexp_extract_all(text, lit("[^\\p{L}0-9'\\s]"), lit(0)))
+      size(regexp_extract_all(lower(text), lit("[^\\p{L}0-9'\\s]"), lit(0)))
 
   /** Token-ID vocabulary: the merge list plus an explicit base
     * alphabet, so tokenization can EMIT ids instead of counting.

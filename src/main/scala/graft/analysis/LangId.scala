@@ -147,9 +147,22 @@ object LangProfiles {
     * then CODE-POINT windows of this string — the Python mirror and
     * the HOF twin (Spark `substring`/`length` count code points too)
     * share the same coordinates.
+    *
+    * Lowercasing: this (driver-side, profile-building) form uses
+    * Locale.ROOT; the FUSED row path lowers via `UTF8String
+    * .toLowerCase` — i.e. exactly Spark's `lower()` — so the fused
+    * expression and the HOF twin are byte-identical under EVERY JVM
+    * default locale (Spark's non-ASCII slow path uses the default
+    * locale; a tr_TR JVM maps 'I' -> U+0131 on both sides or
+    * neither). The word lists are all-lowercase, so profiles are
+    * locale-independent, and the Python mirror's `str.lower()`
+    * matches ROOT-compatible locales (everything but tr/az).
     */
-  def normalize(s: String): String = {
-    val lower = s.toLowerCase(Locale.ROOT)
+  def normalize(s: String): String =
+    normalizeLowered(s.toLowerCase(Locale.ROOT))
+
+  /** [[normalize]] minus the lowering — the caller lowers first. */
+  def normalizeLowered(lower: String): String = {
     val sb = new java.lang.StringBuilder(lower.length + 2)
     sb.append(' ')
     var i = 0
@@ -250,9 +263,13 @@ case class LangNgramScores(child: Expression,
   override def nullSafeEval(s: Any): Any =
     evalCore(s.asInstanceOf[UTF8String])
 
-  /** Shared by interpreted eval and generated code (public for janino). */
+  /** Shared by interpreted eval and generated code (public for janino).
+    * Lowers via UTF8String.toLowerCase = Spark's `lower()`, so the HOF
+    * twin (which composes `lower(text)`) is byte-identical under every
+    * JVM default locale (see [[LangProfiles.normalize]]).
+    */
   def evalCore(s: UTF8String): GenericArrayData = {
-    val norm = LangProfiles.normalize(s.toString)
+    val norm = LangProfiles.normalizeLowered(s.toLowerCase.toString)
     val out = new Array[Double](nLangs)
     // walk trigrams over CODE POINTS (mirrors substring/length in the
     // HOF twin and Python slicing in the oracle mirror)

@@ -1417,6 +1417,14 @@ object TextOps {
     * (extra identical band rows re-find the same candidates; crossPairs
     * dedups per (new_id, base_id)) but wasteful; compact the base table
     * on a maintenance cadence if appends churn.
+    *
+    * WARNING — appending MUTATES `baseDir/minhash_base`, which other
+    * frames may be lazily reading: a staged [[curate]]/[[release]]
+    * run's `hotBuckets` audit is a lazy RE-SCAN of that same table
+    * (by design), so evaluate/materialize any such audit BEFORE
+    * appending, or the audit will count the snapshot's band rows as
+    * the original run's. The same goes for any other unevaluated
+    * consumer of the staged base.
     */
   def appendToBase(baseDir: String, result: IncrementalDedupResult): Unit =
     result.newBase

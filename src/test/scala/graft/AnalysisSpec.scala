@@ -874,6 +874,15 @@ class AnalysisSpec extends AnyFunSuite {
         .as("a"), Bpe.tokenCount(col("text"), cv).as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(off == 0, s"$off docs where size(tokenIds) != tokenCount")
+    // ... including on EXPANDING lowercase: 'İ' lowers to i + U+0307,
+    // and both the emitter and the count scan lower(text), so each
+    // sees one word token plus one symbol token (a raw-text symbol
+    // scan would miss the combining mark and break the invariant)
+    val exp = Seq("İ low", "STRASSE ẞ x").toDF("text")
+      .select(size(Bpe.tokenIds(col("text"), tv)).as("a"),
+        Bpe.tokenCount(col("text"), cv).as("b"))
+      .as[(Int, Int)].collect().toSeq
+    exp.foreach { case (a, b) => assert(a == b, s"ids $a != count $b") }
     // every id is in range; UNK never fires when the vocab was built
     // on the same corpus
     val bad = docs.select(explode_outer(Bpe.tokenIds(col("text"), tv)).as("id"))
