@@ -44,7 +44,7 @@ import sys
 import duckdb
 import regex
 
-from xxh64 import hash_int, hash_long, hash_utf8, to_signed
+from xxh64 import hash_int, hash_long, hash_utf8, spark_xxhash64, to_signed
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 TOKEN_RE = regex.compile(r"[\p{L}0-9']+")
@@ -568,6 +568,24 @@ def main(sf_dir):
             rows.append((i, cur[0], cur[1] - cur[0]))
     write(con, "expected_runs", "doc_id BIGINT, start INTEGER, len INTEGER",
           rows)
+
+    # q77: deterministic source-mixture sampling — same coin
+    # (xxhash64(seed=7L, doc_id) mod 1e6, Python floored % matches
+    # Spark pmod) and the same floor(rate) + fraction multiplier;
+    # rates: src0 2.5x, src1 0.5x, src2 dropped, src3 1.0x, rest 0.25x
+    import math
+    srcs = dict(con.execute(
+        f"SELECT doc_id, source FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id").fetchall())
+    mix_rates = {"src0": 2.5, "src1": 0.5, "src2": 0.0, "src3": 1.0}
+    rows = []
+    for i, src in sorted(srcs.items()):
+        r = mix_rates.get(src, 0.25)
+        u = (spark_xxhash64(7, i) % 1000000) / 1000000.0
+        n = int(math.floor(r)) + (1 if u < r - math.floor(r) else 0)
+        rows += [(i, src, c) for c in range(1, n + 1)]
+    write(con, "expected_mixture",
+          'doc_id BIGINT, source VARCHAR, "copy" INTEGER', rows)
 
 
 if __name__ == "__main__":

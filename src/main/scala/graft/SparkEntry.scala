@@ -785,6 +785,42 @@ object SparkEntry {
         col("text"), minRun = 10)
     }),
 
+    "q76_excise_runs" -> ((s, d) => {
+      // run EXCISION composed over q74: rebuild the same corpus, flag
+      // its duplicated runs, cut every flagged token range, rejoin.
+      // The oracle is PURE SQL over the documents table + the q74
+      // expected_runs fixture (DuckDB rebuilds the corpus, drops
+      // positions covered by any fixture run, string_aggs in token
+      // order) — so q76 green certifies the excision arithmetic AND,
+      // independently of q74's own check, that the Spark runs frame
+      // equals the fixture's.
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = base
+        .filter(col("doc_id") < 15 &&
+          size(TextOps.tokens(col("text"))) >= 25)
+        .select((col("doc_id") + 8000000).as("doc_id"),
+          concat_ws(" ", concat(lit("pre"), col("doc_id")),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 6, 15)),
+            concat(lit("post"), col("doc_id"))).as("text"))
+      val corpus = base.unionByName(planted)
+      TextOps.exciseRuns(corpus, col("doc_id"), col("text"),
+        TextOps.duplicatedRuns(corpus, col("doc_id"), col("text"),
+          minRun = 10))
+    }),
+
+    "q77_mixture_sample" -> ((s, d) =>
+      // deterministic source-mixture sampling: src0 upsamples to 2-3
+      // copies (rate 2.5), src1 halves, src2 drops entirely, src3
+      // passes through, everything else keeps 1 in 4 (default 0.25) —
+      // copy counts are pure functions of (seed, doc_id), mirrored
+      // with the same xxhash64 chain in gen_hash_expected.py
+      TextOps.sampleMixture(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"),
+        rates = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0,
+          "src3" -> 1.0),
+        defaultRate = 0.25, seed = 7L)),
+
     "q75_lang_id" -> ((s, d) => {
       // 26-language char-trigram classifier (fused LangNgramScores over
       // the broadcast profile table) over documents + three synthetic
@@ -1361,12 +1397,44 @@ object SparkEntry {
       ("SELECT doc_id, \"start\", \"len\" " +
         "FROM read_parquet('/root/repo/fixtures/expected_runs.parquet')"),
 
+    // mixture sampling: the mirror replays the same xxhash64 coin and
+    // floor+fraction multiplier per doc (gen_hash_expected.py)
+    "q77_mixture_sample" ->
+      ("SELECT doc_id, source, \"copy\" " +
+        "FROM read_parquet('/root/repo/fixtures/expected_mixture.parquet')"),
+
     // char-n-gram language ID: the mirror re-derives the trigram
     // profiles from the dumped word lists and re-scores independently
     // (gen_lang_expected.py + lang_profiles.json)
     "q75_lang_id" ->
       ("SELECT doc_id, lang_pred " +
         "FROM read_parquet('/root/repo/fixtures/expected_langid.parquet')"),
+
+    // run excision: pure SQL — rebuild q74's corpus, drop token
+    // positions covered by any expected_runs interval, string_agg in
+    // position order (empty docs kept via the left join + coalesce)
+    "q76_excise_runs" ->
+      ("WITH corpus AS (" +
+        "SELECT doc_id, text FROM documents " +
+        "UNION ALL " +
+        "SELECT doc_id + 8000000 AS doc_id, " +
+        "'pre' || doc_id || ' ' || " +
+        "array_to_string(list_slice(regexp_extract_all(lower(text), " +
+        "'[\\p{L}0-9'']+'), 6, 20), ' ') || ' post' || doc_id AS text " +
+        "FROM documents WHERE doc_id < 15 " +
+        "AND len(regexp_extract_all(lower(text), '[\\p{L}0-9'']+')) >= 25), " +
+        "toks AS (SELECT doc_id, " +
+        "unnest(range(0, len(regexp_extract_all(lower(text), '[\\p{L}0-9'']+')))) AS pos, " +
+        "unnest(regexp_extract_all(lower(text), '[\\p{L}0-9'']+')) AS tok " +
+        "FROM corpus), " +
+        "kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t " +
+        "WHERE NOT EXISTS (SELECT 1 " +
+        "FROM read_parquet('/root/repo/fixtures/expected_runs.parquet') r " +
+        "WHERE r.doc_id = t.doc_id AND t.pos >= r.\"start\" " +
+        "AND t.pos < r.\"start\" + r.\"len\")) " +
+        "SELECT c.doc_id, coalesce(k.text, '') AS text FROM corpus c " +
+        "LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text " +
+        "FROM kept GROUP BY 1) k USING (doc_id)"),
 
     // real BPE: the mirror independently re-trains the merge list and
     // greedy-applies it (gen_hash_expected.py)

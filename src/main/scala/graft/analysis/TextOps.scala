@@ -863,6 +863,47 @@ object TextOps {
       .drop("__sq_id")
   }
 
+  /** Deterministic source-MIXTURE sampling — the "domain weights" step
+    * that turns a curated corpus into a training mixture (the Pile /
+    * DoReMi-style per-source epoch multipliers): each doc of source
+    * `s` is emitted `floor(rate(s))` times plus one more with
+    * probability `frac(rate(s))`, so a rate of 0.5 downsamples by
+    * half, 1.0 passes through, and 2.5 upsamples to 2-3 copies with
+    * per-source expectation exactly `rate` (quantized to 1e-6). The
+    * coin is `xxhash64(seed, id) mod 1e6` — a pure function of (seed,
+    * id), so the SAME docs survive (and the same copy counts emit)
+    * under any partitioning or layout, reruns are byte-identical, and
+    * flipping `seed` redraws the whole mixture ([[splitByHash]]'s
+    * determinism argument). Output: the input columns plus `copy`
+    * (1..n); rate-0 sources drop entirely.
+    *
+    * Scale shape: map-only — the rate table is a tiny plan literal
+    * (mixture configs are tens-to-hundreds of entries; nothing like
+    * the broadcast-sized IVF/BPE tables), the multiplier is one hash
+    * + one generator per row, and nothing shuffles. `explode_outer` +
+    * filter rather than plain explode (the InferFiltersFromGenerate
+    * re-inlining trap).
+    */
+  def sampleMixture(docs: DataFrame, id: Column, source: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      seed: Long = 0L): DataFrame = {
+    require(!docs.columns.contains("copy") && !docs.columns.contains("__mx_n"),
+      "sampleMixture reserves the copy/__mx_n column names")
+    require((rates.valuesIterator ++ Iterator(defaultRate)).forall(r =>
+      r >= 0.0 && r <= 1000000.0 && !r.isNaN),
+      "mixture rates must be finite and in [0, 1e6]")
+    val rate = coalesce(element_at(typedlit(rates), source), lit(defaultRate))
+    val u = pmod(xxhash64(lit(seed), id), lit(1000000L)).cast("double") /
+      1000000.0
+    val n = floor(rate).cast("int") +
+      when(u < rate - floor(rate), 1).otherwise(0)
+    docs.withColumn("__mx_n", n)
+      .withColumn("copy", explode_outer(when(col("__mx_n") >= 1,
+        sequence(lit(1), col("__mx_n"))).otherwise(typedlit(Seq.empty[Int]))))
+      .filter(col("copy").isNotNull)
+      .drop("__mx_n")
+  }
+
   /** Per-source corpus composition report — the summary every
     * pre-training pipeline publishes with a release: doc / token /
     * char volumes, token extremes, and the language mix per source.
@@ -1497,5 +1538,45 @@ object TextOps {
             array(struct(p.as("s"), (p + minRun).as("e"))))))).as("run"))
       .select(col("doc_id"), col("run.s").as("start"),
         (col("run.e") - col("run.s")).as("len"))
+  }
+
+  /** Excise flagged runs: rebuild each doc as its token stream MINUS
+    * every token covered by a `runs` interval — the "cut the range"
+    * policy over [[duplicatedRuns]] output (callers choose the policy
+    * upstream by filtering the runs frame, e.g. keep each run's first
+    * occurrence by dropping the lowest-(doc_id, start) row per
+    * duplicated content before passing it here).
+    *
+    * Coordinates are [[tokens]]-array indices — the SAME (lowered)
+    * token stream [[duplicatedRuns]] hashed — so the output text is
+    * the normalized lowercase token stream joined by single spaces
+    * (what the downstream BPE/packing path consumes anyway); docs with
+    * no flagged runs come back as their rejoined token stream too, so
+    * the transformation is uniform. `runs` must carry (doc_id, start,
+    * len) like [[duplicatedRuns]] emits; a require guards the shape.
+    *
+    * Scale shape: one partial-agg groupBy collapses the runs frame to
+    * per-doc interval arrays (bounded by the doc's own token count),
+    * one equi-join on the 8-byte id attaches them, and the cut is a
+    * map-side indexed-filter HOF — no text in the runs exchange, the
+    * docs side never shuffles.
+    */
+  def exciseRuns(docs: DataFrame, id: Column, text: Column,
+      runs: DataFrame): DataFrame = {
+    require(Seq("doc_id", "start", "len").forall(runs.columns.contains),
+      s"exciseRuns needs (doc_id, start, len) columns in the runs frame " +
+        s"(got ${runs.columns.mkString(", ")}) — the [[duplicatedRuns]] " +
+        "output shape; select/rename before calling")
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start").as("s"), col("len").as("l")))
+        .as("__rs"))
+    docs.select(id.as("doc_id"), text.as("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), array_join(
+        filter(tokens(col("text")), (t, i) =>
+          !exists(coalesce(col("__rs"),
+              typedlit(Seq.empty[(Int, Int)]).cast("array<struct<s:int,l:int>>")),
+            r => i >= r("s") && i < r("s") + r("l"))),
+        " ").as("text"))
   }
 }

@@ -1063,6 +1063,74 @@ class AnalysisSpec extends AnyFunSuite {
     assert(cur.kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("sampleMixture: rate semantics, determinism across partitioning") {
+    val docs = documents.select(col("doc_id"), col("source"), col("text"))
+    val rates = Map("src0" -> 3.0, "src1" -> 0.0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.sampleMixture(df, col("doc_id"), col("source"), rates,
+          defaultRate = 0.5, seed = 3L)
+        .select(col("doc_id"), col("copy")).as[(Long, Int)]
+        .collect().toSeq.sorted
+    val a = run(docs)
+    val byDoc = a.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val src = docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    // integral rates are exact: 3.0 -> copies 1,2,3; 0.0 -> absent;
+    // fractional 0.5 -> 0 or 1 copy, never more
+    byDoc.foreach { case (id, copies) =>
+      src(id) match {
+        case "src0" => assert(copies == Seq(1, 2, 3))
+        case "src1" => fail(s"rate-0 doc $id survived")
+        case _ => assert(copies == Seq(1))
+      }
+    }
+    assert(a.nonEmpty && byDoc.keySet.intersect(
+      src.filter(_._2 == "src0").keySet).nonEmpty)
+    // default-rate sources keep SOME but not all docs (0.5 coin)
+    val defIds = src.filterNot(kv => kv._2 == "src0" || kv._2 == "src1").keySet
+    val keptDef = byDoc.keySet.intersect(defIds)
+    assert(keptDef.nonEmpty && keptDef.size < defIds.size)
+    // layout-stable: identical output under any partitioning, and a
+    // different seed redraws the fractional coins
+    assert(run(docs.repartition(13, col("source"))) == a)
+    val reseeded = TextOps.sampleMixture(docs, col("doc_id"), col("source"),
+        rates, defaultRate = 0.5, seed = 4L)
+      .select(col("doc_id"), col("copy")).as[(Long, Int)].collect().toSeq.sorted
+    assert(reseeded != a)
+    intercept[IllegalArgumentException] {
+      TextOps.sampleMixture(docs.withColumn("copy", lit(1)), col("doc_id"),
+        col("source"), rates)
+    }
+  }
+
+  test("exciseRuns: cuts exactly the flagged ranges, uniform rejoin, guard") {
+    val w = (0 until 20).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),
+      (2L, "pad1 pad2 pad3 " + w.slice(5, 15).mkString(" ") + " pad4"),
+      (3L, "Unique, Tokens! only")).toDF("doc_id", "text")
+    val runs = TextOps.duplicatedRuns(docs, col("doc_id"), col("text"),
+      minRun = 5)
+    val out = TextOps.exciseRuns(docs, col("doc_id"), col("text"), runs)
+      .as[(Long, String)].collect().toMap
+    // doc1 loses w5..w14, doc2 its verbatim copy; doc3 has no runs and
+    // comes back as its rejoined lowered token stream (uniform form)
+    assert(out(1L) ==
+      ((0 until 5) ++ (15 until 20)).map(i => s"w$i").mkString(" "))
+    assert(out(2L) == "pad1 pad2 pad3 pad4")
+    assert(out(3L) == "unique tokens only")
+    // after cutting every flagged range this corpus shares nothing
+    val again = TextOps.duplicatedRuns(
+      out.toSeq.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      minRun = 5).count()
+    assert(again == 0, s"$again runs survived excision")
+    // shape guard fails fast on renamed columns
+    intercept[IllegalArgumentException] {
+      TextOps.exciseRuns(docs, col("doc_id"), col("text"),
+        runs.withColumnRenamed("start", "s"))
+    }
+  }
+
   test("duplicatedRuns: staged mode matches, shuffles carry no text") {
     val w = (0 until 20).map(i => s"w$i")
     val docs = Seq(
