@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 /** Shared bench measurement helpers. The whole methodology here hinges
   * on steal-stamped walls (BENCH.md), so there is exactly ONE
   * /proc/stat parser — every artifact's steal column is comparable by
@@ -17,4 +20,23 @@ private[graft] object BenchUtil {
       } finally src.close()
     } catch { case _: Exception => (0L, 0L) }
   }
+
+  /** One token of the infinite pseudo-word stream the volume benches
+    * share (extracted from CurateVolumeBench): every 5th position is
+    * an English marker (lang-ID and stopword gates pass); the rest
+    * draw from a 100k-word vocab — big enough that disjoint windows
+    * share no shingles by chance. Pure function of the position, so
+    * corpora built on it are byte-identical across runs/partitionings.
+    */
+  def streamWord(t: Column): Column = {
+    val markers = array(Seq("the", "and", "of", "is", "was").map(lit): _*)
+    when(pmod(t, lit(5)) === 0,
+      element_at(markers, (pmod(xxhash64(lit(1), t), lit(5)) + 1).cast("int")))
+      .otherwise(concat(lit("w"), pmod(xxhash64(lit(2), t), lit(100000))))
+  }
+
+  /** `n` stream tokens starting at offset `base` (map-side, no UDF). */
+  def windowText(base: Column, n: Int = 50): Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(n - 1)),
+      k => streamWord(base + k)))
 }

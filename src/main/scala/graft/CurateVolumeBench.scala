@@ -33,21 +33,10 @@ object CurateVolumeBench {
 
   private def cpuTicks(): (Long, Long) = BenchUtil.cpuTicks()
 
-  /** One token of the infinite pseudo-word stream: every 5th position
-    * is an English marker (so lang-ID and stopword gates pass); the
-    * rest draw from a 100k-word vocab — big enough that background
-    * docs share no shingles by chance.
+  /** The shared pseudo-word stream window ([[BenchUtil.windowText]] —
+    * extracted so RunsVolumeBench builds byte-compatible corpora).
     */
-  private def word(t: Column): Column = {
-    val markers = array(Seq("the", "and", "of", "is", "was").map(lit): _*)
-    when(pmod(t, lit(5)) === 0,
-      element_at(markers, (pmod(xxhash64(lit(1), t), lit(5)) + 1).cast("int")))
-      .otherwise(concat(lit("w"), pmod(xxhash64(lit(2), t), lit(100000))))
-  }
-
-  /** 50 tokens starting at stream offset `base` (map-side, no UDF). */
-  private def windowText(base: Column): Column =
-    concat_ws(" ", transform(sequence(lit(0), lit(49)), k => word(base + k)))
+  private def windowText(base: Column): Column = BenchUtil.windowText(base)
 
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
