@@ -21,6 +21,20 @@ private[graft] object BenchUtil {
     } catch { case _: Exception => (0L, 0L) }
   }
 
+  /** Steal-stamped wall: (result, seconds, stealPct over the window) —
+    * THE timing convention every bench artifact shares (one
+    * implementation, so the steal columns stay comparable; the former
+    * per-bench copies drifted a real risk, not a hypothetical).
+    */
+  def timed[T](f: => T): (T, Double, Double) = {
+    val (s0, t0) = cpuTicks()
+    val w0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - w0) / 1e9
+    val (s1, t1) = cpuTicks()
+    (r, sec, if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0)
+  }
+
   /** One token of the infinite pseudo-word stream the volume benches
     * share (extracted from CurateVolumeBench): every 5th position is
     * an English marker (lang-ID and stopword gates pass); the rest

@@ -31,8 +31,6 @@ import graft.analysis.{Buckets, TextOps}
   */
 object CurateVolumeBench {
 
-  private def cpuTicks(): (Long, Long) = BenchUtil.cpuTicks()
-
   /** The shared pseudo-word stream window ([[BenchUtil.windowText]] —
     * extracted so RunsVolumeBench builds byte-compatible corpora).
     */
@@ -61,14 +59,7 @@ object CurateVolumeBench {
         .when(col("id") < nClones + nChain, windowText(col("id") - nClones))
         .otherwise(windowText((col("id") + 1000) * 50)).as("text"))
 
-    def timed[T](f: => T): (T, Double, Double) = {
-      val (s0, t0) = cpuTicks()
-      val w0 = System.nanoTime()
-      val r = f
-      val sec = (System.nanoTime() - w0) / 1e9
-      val (s1, t1) = cpuTicks()
-      (r, sec, if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0)
-    }
+    def timed[T](f: => T): (T, Double, Double) = BenchUtil.timed(f)
 
     // ---- curate, staged, cluster-exact drop ------------------------------
     val curateDir = s"$workDir/curate"

@@ -71,14 +71,7 @@ object RunsVolumeBench {
           concat_ws(" ", own30, donor20))
         .otherwise(BenchUtil.windowText((col("id") + 1000L) * 50)).as("text"))
 
-    def timed[T](f: => T): (T, Double, Double) = {
-      val (s0, t0) = BenchUtil.cpuTicks()
-      val w0 = System.nanoTime()
-      val r = f
-      val sec = (System.nanoTime() - w0) / 1e9
-      val (s1, t1) = BenchUtil.cpuTicks()
-      (r, sec, if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0)
-    }
+    def timed[T](f: => T): (T, Double, Double) = BenchUtil.timed(f)
 
     val runsDir = s"$workDir/runs"
     val ((nRuns, nFlaggedDocs, flaggedTokens), runsSec, runsSteal) = timed {
@@ -101,13 +94,13 @@ object RunsVolumeBench {
       .filter(pmod(col("doc_id"), lit(10)) === 1 &&
         col("start") === 0 && col("len") === 20).count()
 
-    val ((tokensBefore, tokensAfter), excSec, excSteal) = timed {
-      val cut = TextOps.exciseRuns(docs, col("doc_id"), col("text"), runsOut)
-      val before = docs.select(sum(TextOps.tokenCount(col("text"))))
-        .as[Long].head()
-      val after = cut.select(sum(TextOps.tokenCount(col("text"))))
-        .as[Long].head()
-      (before, after)
+    // count the input's tokens OUTSIDE the excision wall — it is a
+    // full-corpus scan of its own, not excision work
+    val tokensBefore = docs.select(sum(TextOps.tokenCount(col("text"))))
+      .as[Long].head()
+    val (tokensAfter, excSec, excSteal) = timed {
+      TextOps.exciseRuns(docs, col("doc_id"), col("text"), runsOut)
+        .select(sum(TextOps.tokenCount(col("text")))).as[Long].head()
     }
     assert(tokensBefore - tokensAfter == flaggedTokens,
       s"excision removed ${tokensBefore - tokensAfter} tokens, " +

@@ -44,19 +44,11 @@ object TimeVolumeBench {
       pmod(xxhash64(lit(2), col("id")), lit(rangeUs)).as("t"),
       col("id").as("event_id"))
 
-    def timedOnce[T](f: => T): (T, Double, Double) = {
-      val (s0, t0) = BenchUtil.cpuTicks()
-      val w0 = System.nanoTime()
-      val r = f
-      val sec = (System.nanoTime() - w0) / 1e9
-      val (s1, t1) = BenchUtil.cpuTicks()
-      (r, sec, if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0)
-    }
     // best-of-2 per form: the first evaluation pays JIT/codegen warmup
     // and possible steal; the kept trial is the better-witnessed one
     def timed[T](f: => T): (T, Double, Double) = {
-      val a = timedOnce(f)
-      val b = timedOnce(f)
+      val a = BenchUtil.timed(f)
+      val b = BenchUtil.timed(f)
       if (b._2 < a._2) b else a
     }
 

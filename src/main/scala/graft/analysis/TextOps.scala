@@ -1558,8 +1558,13 @@ object TextOps {
     * Scale shape: one partial-agg groupBy collapses the runs frame to
     * per-doc interval arrays (bounded by the doc's own token count),
     * one equi-join on the 8-byte id attaches them, and the cut is a
-    * map-side indexed-filter HOF — no text in the runs exchange, the
-    * docs side never shuffles.
+    * map-side indexed-filter HOF — no text in the runs exchange. The
+    * docs side avoids shuffling while the aggregated runs frame
+    * broadcasts (the common case — intervals are a sliver of the
+    * corpus; a spec pins the BroadcastHashJoin at the default
+    * threshold); a corpus whose aggregated runs exceed the broadcast
+    * threshold falls back to a standard 8-byte-id shuffle of both
+    * sides, which is the correct plan there, not a defect.
     */
   def exciseRuns(docs: DataFrame, id: Column, text: Column,
       runs: DataFrame): DataFrame = {

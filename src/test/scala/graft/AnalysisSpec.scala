@@ -1129,6 +1129,15 @@ class AnalysisSpec extends AnyFunSuite {
       TextOps.exciseRuns(docs, col("doc_id"), col("text"),
         runs.withColumnRenamed("start", "s"))
     }
+    // scale-shape pin: at the default broadcast threshold the
+    // aggregated runs side broadcasts — the docs side does not shuffle
+    // (the scaladoc's documented common case)
+    val plan = TextOps.exciseRuns(documents, col("doc_id"), col("text"),
+        TextOps.duplicatedRuns(documents, col("doc_id"), col("text"),
+          minRun = 5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"runs side no longer broadcasts:\n$plan")
   }
 
   test("duplicatedRuns: staged mode matches, shuffles carry no text") {
