@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement tool (guide §1.4): runs named
+  * SparkEntry queries through the noop sink with a per-stage listener,
+  * printing each executed stage's wall time, task count and shuffle
+  * bytes — the empirical "where does the time go" evidence for
+  * OPTIMIZATION_r*.md. Purely additive; Bench.scala is untouched.
+  *
+  * Usage: runMain graft.BenchExtra <query> [query ...]
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchExtra <query> [query ...]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val si = s.stageInfo
+        val wall = (for {
+          a <- si.completionTime; b <- si.submissionTime
+        } yield a - b).getOrElse(-1L)
+        val m = si.taskMetrics
+        stages.add(f"  stage ${si.stageId}%3d ${wall}%6d ms " +
+          f"tasks=${si.numTasks}%3d shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.2f MB " +
+          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.2f MB " +
+          f"in=${m.inputMetrics.bytesRead / 1e6}%7.2f MB  ${si.name.take(90)}")
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    // warmup: absorb session/codegen startup
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    args.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      spark.catalog.clearCache()
+      // one warm pass (not reported) so codegen compile noise does not
+      // swamp the breakdown, then the measured pass
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      stages.clear()
+      spark.sparkContext.setJobDescription(s"benchextra: $name")
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val tPlan = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      Thread.sleep(600) // drain listener bus
+      println(f"== $name  total ${(t1 - t0) / 1e9}%.3f s " +
+        f"(build ${(tPlan - t0) / 1e9}%.3f s, exec ${(t1 - tPlan) / 1e9}%.3f s), " +
+        f"${stages.size} stages")
+      stages.forEach(println(_))
+      spark.sparkContext.setJobDescription(null)
+    }
+    spark.stop()
+  }
+}

@@ -24,6 +24,38 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Input-skew guard (optimization guide §2.5 "input skew ...
+    * repartition immediately after the read"): the sf test tables are
+    * single-row-group parquet files, so every scan is ONE partition
+    * and a regex/minhash-heavy map chain runs on one core (measured:
+    * the q64 curation stage spent 1.7 s in a 1-task stage at sf0.1 on
+    * 32 cores). Round-robin repartition to the session's configured
+    * parallelism unlocks the map chain; the guard keeps it
+    * scale-adaptive rather than local-tuned — a production corpus
+    * arrives in >= shuffle-partitions splits, and then this is a
+    * NO-OP (no exchange injected; a 100 TB text table must never be
+    * blanket-reshuffled, which is why the spread lives in the query
+    * entry, not inside the operators). Only applied where the timed
+    * action actually forces per-row compute (joins/aggs/explodes over
+    * derived values); scan/pushdown queries keep their bare scans.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < p)
+      // localCheckpoint, not a bare repartition: Catalyst pushes
+      // deterministic filters/projections BELOW a repartition, which
+      // re-pins the regex-heavy work onto the 1-task scan (measured:
+      // q49's curation gate ran as a 1.5 s single-task stage under a
+      // bare repartition). The checkpoint is a hard barrier — heavy
+      // expressions evaluate on the 32-way side — and it truncates the
+      // lineage the deep compositions (q64/q50) otherwise re-analyze
+      // per barrier reference. Eager + tiny (these are the sub-MB sf
+      // tables; the guard above keeps real multi-split corpora on
+      // their bare parallel scans).
+      df.repartition(p).localCheckpoint()
+    else df
+  }
+
   private def us(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unix_micros(c.cast("timestamp"))
 
@@ -234,7 +266,7 @@ object SparkEntry {
       // line-frequency boilerplate removal: nav header + legal footer
       // injected into EVERY doc (so they cross the minDocs bar), body
       // lines survive; output is the kept (doc_id, line_no, line) rows
-      val wrapped = t(s, d, "documents").select(col("doc_id"),
+      val wrapped = spread(t(s, d, "documents")).select(col("doc_id"),
         concat(lit("HOME | ABOUT | CONTACT\n"), col("text"),
           lit("\n(c) example corp - all rights reserved")).as("text"))
       TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"), minDocs = 100L)
@@ -243,7 +275,7 @@ object SparkEntry {
     "q59_corpus_stats" -> ((s, d) =>
       // per-source corpus composition report: exact volumes + language
       // mix, one partial-agg shuffle keyed by source
-      TextOps.corpusStats(t(s, d, "documents"), col("source"), col("text"))),
+      TextOps.corpusStats(spread(t(s, d, "documents")), col("source"), col("text"))),
 
     "q56_redact_pii" -> ((s, d) => {
       // PII redaction + URL->host over deterministic synthesized PII;
@@ -284,7 +316,7 @@ object SparkEntry {
       // (docs 0-4) over the corpus + planted contaminated probes
       // (doc 0-2's text behind a prefix) — hash-checked against the
       // independent Python mirror (fixtures/gen_hash_expected.py)
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
       val probes = docs.filter(col("doc_id") < 3)
         .select((col("doc_id") + 3000000).as("doc_id"),
           concat(lit("prefix words ahead then "), col("text")).as("text"))
@@ -296,7 +328,7 @@ object SparkEntry {
     "q55_reassemble" -> ((s, d) => {
       // the q53 boilerplate strip composed with document reassembly:
       // kept lines -> one cleaned flat text per doc (asDocs = true)
-      val wrapped = t(s, d, "documents").select(col("doc_id"),
+      val wrapped = spread(t(s, d, "documents")).select(col("doc_id"),
         concat(lit("HOME | ABOUT | CONTACT\n"), col("text"),
           lit("\n(c) example corp - all rights reserved")).as("text"))
       TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"),
@@ -320,7 +352,7 @@ object SparkEntry {
       // paragraph (the SUBSCRIBE block in every doc, dropped by the
       // cross-doc frequency pass); organic paragraphs survive; output
       // is the documents rebuilt with blank-line separators
-      val wrapped = t(s, d, "documents").select(col("doc_id"),
+      val wrapped = spread(t(s, d, "documents")).select(col("doc_id"),
         concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n\n"), col("text"),
           lit("\n\nfooter tag "), col("doc_id"),
           lit("\n\nfooter tag "), col("doc_id")).as("text"))
@@ -351,7 +383,7 @@ object SparkEntry {
     }),
 
     "q23_ann_top1" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = spread(t(s, d, "embeddings"))
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
       VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 1)
         .select(col("query_id"), col("neighbor_id"))
@@ -469,7 +501,7 @@ object SparkEntry {
       // base-only run would emit; gen_hash_expected.py asserts both
       // corpora are salt-free so a corpus change cannot silently
       // invalidate this oracle)
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
       TextOps.splitLeakage(
         TextOps.splitByHash(docs, col("doc_id"),
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
@@ -547,8 +579,13 @@ object SparkEntry {
       import s.implicits._
       import graft.media.BinaryOps
       val assets = BinaryOps.assetsFor(Corpus.generate(s, 2000))
+      // cache: three union branches derive from this one filter —
+      // uncached, each branch re-runs corpus generation + the asset
+      // flatMap (3 full generation passes measured in the r08 stage
+      // audit). Bench clearCache()s after every query, so nothing
+      // leaks across timings; q34's mediaPipeline has the same shape.
       val images = assets.filter(a =>
-        a.mime.startsWith("image/") && a.content.length >= 72)
+        a.mime.startsWith("image/") && a.content.length >= 72).cache()
       val resized = BinaryOps.resizeImages(images, maxSide = 192)
         .map(a => a.copy(media_ref = a.media_ref + "~r"))
       val noisy = images.map(a => a.copy(media_ref = a.media_ref + "~n",
@@ -600,7 +637,7 @@ object SparkEntry {
       Pipeline.extractRows(Corpus.generate(s, 200), "auto")),
     "q25_minhash_pairs" -> ((s, d) => {
       // inject near-dups so the candidate set is non-empty
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
@@ -613,7 +650,7 @@ object SparkEntry {
     "q45_simhash_dedup" -> ((s, d) => {
       // banded-simhash near-dup join (xxhash-based -> rows-only); inject
       // near-dups so the candidate set is non-empty
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 2000000).as("doc_id"),
           concat(col("text"), lit(" zz")).as("text"))
@@ -624,7 +661,7 @@ object SparkEntry {
       // centroid-partitioned ANN (IVF) — candidates depend on the
       // sampled centroids, engine-internal -> rows-only; recall is
       // spec-checked vs brute force
-      val emb = t(s, d, "embeddings")
+      val emb = spread(t(s, d, "embeddings"))
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
       VectorOps.ivfTopK(emb.filter(col("vec_id") < 5), emb, 3,
           nCells = 32, nProbe = 4)
@@ -634,7 +671,7 @@ object SparkEntry {
       // embedding-cosine near-dup: exact duplicates planted at
       // vec_id+10000; identical vectors share every LSH bucket, so the
       // candidate join catches them with certainty -> oracle-checkable
-      val emb = t(s, d, "embeddings")
+      val emb = spread(t(s, d, "embeddings"))
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
       val dups = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
       VectorOps.cosineDupPairs(emb.unionByName(dups), minCos = 0.999)
@@ -647,14 +684,14 @@ object SparkEntry {
       // end-to-end curation hygiene pass: language gate + quality window
       // + exact-dedup keeper — fully SQL-expressible, so the whole
       // composition is cross-engine hash-checked
-      TextOps.curationFilter(t(s, d, "documents"),
+      TextOps.curationFilter(spread(t(s, d, "documents")),
         col("doc_id"), col("text"))),
     "q50_curate_full" -> ((s, d) => {
       // the COMPLETE curation pass (filter -> exact collapse -> near-dup
       // drop) over base docs + injected near-dups + a 100-clone cluster;
       // kept set hash-checked against the independent Python mirror
       // (fixtures/gen_hash_expected.py)
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
@@ -671,7 +708,7 @@ object SparkEntry {
       // the Python mirror's independent train + greedy-apply
       // (fixtures/gen_hash_expected.py, expected_bpe.parquet)
       import graft.analysis.Bpe
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
       val vocab = s.sparkContext.broadcast(
         Bpe.train(docs, col("text"), nMerges = 200))
       docs.select(col("doc_id"),
@@ -687,7 +724,7 @@ object SparkEntry {
       // the DuckDB hash compare covers full content without nested
       // types; the mirror packs the same corpus independently.
       import graft.analysis.{Bpe, Pack}
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
       val vocab = s.sparkContext.broadcast(
         Bpe.buildTokenVocab(docs, col("text"), nMerges = 200))
       val packed = Pack.packSequences(docs, col("doc_id"), col("text"),
@@ -713,7 +750,7 @@ object SparkEntry {
       // pages per source. Hash-checked against the Python mirror's
       // composition of the same four stages
       // (fixtures/gen_hash_expected.py, expected_release.parquet)
-      val base = t(s, d, "documents")
+      val base = spread(t(s, d, "documents"))
         .select(col("doc_id"), col("text"), col("source"))
       val dups = base.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
@@ -739,7 +776,7 @@ object SparkEntry {
       // pairs), hash-checked against the Python mirror's independent
       // two-snapshot composition (fixtures/gen_hash_expected.py).
       // The temp base dir is per-invocation (OS tmp lifecycle).
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
       val baseDocs = docs.filter(col("doc_id") < 250)
       val crossDups = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 7000000).as("doc_id"),
@@ -772,7 +809,7 @@ object SparkEntry {
       // mirror's COLLISION-FREE brute-force tuple counting
       // (fixtures/gen_hash_expected.py) — a green hash also certifies
       // no 64-bit shingle-hash collision fired at this scale.
-      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
       val planted = base
         .filter(col("doc_id") < 15 &&
           size(TextOps.tokens(col("text"))) >= 25)
@@ -851,7 +888,7 @@ object SparkEntry {
       // stage and never reach the LSH join; pairs are among keepers.
       // Hash-checked against the independent Python implementation
       // (fixtures/gen_hash_expected.py, pure-Python XXH64)
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
@@ -866,7 +903,7 @@ object SparkEntry {
       // over the q25 near-dup pair graph: (doc_id, cluster_keeper) via
       // min-id label propagation — hash-checked against an independent
       // Python union-find mirror (fixtures/gen_hash_expected.py)
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
@@ -874,7 +911,7 @@ object SparkEntry {
         col("doc_id"), col("text"), n = 3, m = 16, bands = 4, minJaccard = 0.5))
     }),
     "q28_ann_lsh" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = spread(t(s, d, "embeddings"))
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
       // 8-plane tables for the sf-sized corpus (500-2000 vectors); the
       // 16-plane default is the >>1M-vector parameterization. 4 tables

@@ -111,6 +111,19 @@ private[analysis] object Staging {
       // call's staged table
       df.write.parquet(path)
       df.sparkSession.read.parquet(path)
-    case None => scope.register(df.cache())
+    case None =>
+      val cached = scope.register(df.cache())
+      // populate EAGERLY (one cheap count job, like the staged branch's
+      // write): a lazy cache is no barrier against AQE's concurrent
+      // query-stage materialization — an LSH self-join's three
+      // downstream exchanges (hot-bucket agg, a side, b side) are
+      // submitted together, each finds the cache cold, and each
+      // recomputes the full upstream chain (measured in the r08 stage
+      // audit: the fused shingle+minhash map stage executed 3x per
+      // query, with "Block already exists; not re-adding" churn).
+      // Caching materializes every column regardless of the count's
+      // pruning, so downstream stages all read the one materialization.
+      cached.count()
+      cached
   }
 }

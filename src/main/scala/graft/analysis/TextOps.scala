@@ -537,12 +537,25 @@ object TextOps {
       col("id").as("id_a"), col("sh").as("sh_a"))
     val b = salted.select(col("band"), col("bucket"), col("__salt"),
       col("id").as("id_b"), col("sh").as("sh_b"))
+    // rerank BEFORE the pair-dedup exchange: hamming is two codegen
+    // instructions (bit_count(xor)), so re-evaluating it per band
+    // collision is ~free, while the dropDuplicates exchange then
+    // carries only the NEAR pairs as (id_a, id_b, hamming) rows — at
+    // 8-bit dHash buckets the organic candidate set is orders of
+    // magnitude larger than the near set, and shipping (sh_a, sh_b)
+    // per candidate was the single biggest shuffle in the media-dedup
+    // bench (25 MB -> KBs at sf0.01; guide §2.3 "shuffle fewer
+    // bytes"). Identical result: hamming is a pure function of the
+    // pair, so every surviving duplicate row is byte-identical and
+    // dropDuplicates keeps the same (id_a, id_b, hamming) content.
+    // (The MinHash path keeps the opposite order deliberately — its
+    // rerank is a full set intersection, far dearer than an exchange.)
     a.join(b, Seq("band", "bucket", "__salt"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---- n-gram Jaccard ------------------------------------------------------
@@ -1067,9 +1080,12 @@ object TextOps {
       staging, "curate_keepers", scope)
     val (pairs, base) = minhashPairsAndBase(keepers, col("doc_id"), col("text"),
       n, m, bands, minJaccard, maxBucket, fused, staging, scope)
+    // no .distinct() on the drop side: left_anti ignores right-side
+    // multiplicity, and the anti-join's own hash build dedups keys —
+    // a pre-distinct was one spare exchange (r08)
     val dropIds =
       if (exactClusters) clusterDropIds(pairs, staging)
-      else pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+      else pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id"))
     val kept = keepers.join(dropIds, Seq("doc_id"), "left_anti").drop("text")
     CurationResult(kept, pairs,
       Buckets.hotBuckets(base, Seq("band", "bucket"), maxBucket))
@@ -1441,10 +1457,11 @@ object TextOps {
     val newPairs = Staging.materialize(
       minhashSelfPairs(newBase, minJaccard, maxBucket),
       staging, "inc_new_pairs", scope)
+    // no .distinct(): left_anti ignores right-side multiplicity and
+    // its hash build dedups keys (see [[curate]]'s dropIds)
     val dropIds = crossPairs.select(col("new_id").as("doc_id"))
       .unionByName(newPairs.select(
         greatest(col("id_a"), col("id_b")).as("doc_id")))
-      .distinct()
     val keepers = named.join(dropIds, Seq("doc_id"), "left_anti")
     IncrementalDedupResult(keepers, crossPairs, newPairs, newBase)
   }

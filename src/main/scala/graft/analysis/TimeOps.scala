@@ -210,7 +210,10 @@ object TimeOps {
     // rows; the window runs over this compact summary table only
     val lb = left.filter(col(key).isNotNull)
       .select(col(key), floor(col(time) / bucketWidth).as("__b"))
-    val active = lb.distinct()
+    // one distinct over the whole union — a pre-distinct of the left
+    // side alone would be swallowed by the outer one anyway (it was,
+    // until r08: one redundant exchange)
+    val active = lb
       .unionByName(bucketLast.select(col(key), col("__b"))).distinct()
     val wc = Window.partitionBy(col(key)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -287,20 +290,18 @@ object TimeOps {
           (col("__lt").isNull || col("__t") - col("__lt") > maxGap), 1L)
           .otherwise(0L))
       .drop("__rn", "__lt")
-    // 2. compact per-(key, bucket) walk
-    val stats = base.groupBy(col("__k"), col("__b"))
-      .agg(min(col("__t")).as("__t_min"), max(col("__t")).as("__t_max"))
-    val localBreaks = local.groupBy(col("__k"), col("__b"))
-      .agg(sum(col("__new")).as("__n_local"))
+    // 2. compact per-(key, bucket) walk. ONE aggregation over `local`
+    // supplies both the bucket time bounds and the local break count —
+    // `local` holds exactly `base`'s rows, so min/max(__t) here equal
+    // the old separate stats-over-base aggregation, and folding them
+    // together removes a full events re-scan plus the null-safe
+    // stats-to-breaks join (two exchanges) the two-frame form needed
+    // (r08: three 1-task scans of the events parquet -> two).
+    val walkedStats = local.groupBy(col("__k"), col("__b"))
+      .agg(min(col("__t")).as("__t_min"), max(col("__t")).as("__t_max"),
+        sum(col("__new")).as("__n_local"))
     val wk = Window.partitionBy(col("__k")).orderBy(col("__b"))
-    // null-safe joins (the null key / null time bucket is a real group),
-    // via renamed join keys — both sides derive from `base`, so joining
-    // on same-named columns would be an ambiguous self-join
-    val breaksR = localBreaks.select(col("__k").as("__bk"),
-      col("__b").as("__bb"), col("__n_local"))
-    val walked = stats.join(breaksR,
-        col("__k") <=> col("__bk") && col("__b") <=> col("__bb"))
-      .drop("__bk", "__bb")
+    val walked = walkedStats
       .withColumn("__prev_last", lag(col("__t_max"), 1).over(wk))
       .withColumn("__first",
         when(col("__prev_last").isNull ||
