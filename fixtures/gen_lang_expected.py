@@ -38,7 +38,12 @@ LETTER_RUN = regex.compile(r"\p{L}+")
 
 
 def normalize(text):
-    return " " + " ".join(LETTER_RUN.findall(text.lower())) + " "
+    # letterless text must normalize to ONE space, exactly like
+    # LangProfiles.normalizeLowered (join-then-pad would emit two);
+    # harmless at N=3 (neither yields trigrams) but the normal forms
+    # must not drift
+    runs = LETTER_RUN.findall(text.lower())
+    return " " + " ".join(runs) + " " if runs else " "
 
 
 def trigrams(text, n):

@@ -102,7 +102,9 @@ object RunsVolumeBench {
       TextOps.exciseRuns(docs, col("doc_id"), col("text"), runsOut)
         .select(sum(TextOps.tokenCount(col("text")))).as[Long].head()
     }
-    assert(tokensBefore - tokensAfter == flaggedTokens,
+    // require, not assert: the bench's headline correctness cross-check
+    // must survive -Xelide-below/-Xdisable-assertions builds
+    require(tokensBefore - tokensAfter == flaggedTokens,
       s"excision removed ${tokensBefore - tokensAfter} tokens, " +
         s"flagged $flaggedTokens")
 

@@ -579,18 +579,25 @@ object SparkEntry {
       import s.implicits._
       import graft.media.BinaryOps
       val assets = BinaryOps.assetsFor(Corpus.generate(s, 2000))
-      // cache: three union branches derive from this one filter —
-      // uncached, each branch re-runs corpus generation + the asset
-      // flatMap (3 full generation passes measured in the r08 stage
-      // audit). Bench clearCache()s after every query, so nothing
-      // leaks across timings; q34's mediaPipeline has the same shape.
       val images = assets.filter(a =>
-        a.mime.startsWith("image/") && a.content.length >= 72).cache()
-      val resized = BinaryOps.resizeImages(images, maxSide = 192)
-        .map(a => a.copy(media_ref = a.media_ref + "~r"))
-      val noisy = images.map(a => a.copy(media_ref = a.media_ref + "~n",
-        content = a.content.map(b => (b ^ 1).toByte)))
-      BinaryOps.dhashDupPairs(images.union(resized).union(noisy))
+        a.mime.startsWith("image/") && a.content.length >= 72)
+      // one flatMap pass emits the original + the resized copy (~r,
+      // BinaryOps.resizeImages semantics on an all-image input) + the
+      // bit-noise re-encode (~n) — row-identical to the old
+      // images.union(resized).union(noisy), whose three branches each
+      // re-ran corpus generation and tripled the partition count (r08
+      // stage audit: 96-task stages over a 2000-doc corpus)
+      val tripled = images.mapPartitions { it =>
+        val codec = BinaryOps.CodecPool.codec
+        it.flatMap { a => Iterator(
+          a,
+          a.copy(media_ref = a.media_ref + "~r",
+            content = codec.resize(a.content, 192, 192)),
+          a.copy(media_ref = a.media_ref + "~n",
+            content = a.content.map(b => (b ^ 1).toByte)))
+        }
+      }
+      BinaryOps.dhashDupPairs(tripled)
     }),
     "q43_analytes" -> ((s, _) => {
       // generic lab-entity surface (north_star): best candidate per
@@ -695,7 +702,7 @@ object SparkEntry {
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
-      val clones = s.range(100).crossJoin(
+      val clones = s.range(0, 100, 1, 1).crossJoin(
           broadcast(docs.filter(col("doc_id") === 1).select(col("text"))))
         .select((col("id") + 6000000).as("doc_id"), col("text"))
       TextOps.curate(docs.unionByName(dups).unionByName(clones),
@@ -756,7 +763,7 @@ object SparkEntry {
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"),
           lit("dup.example.com").as("source"))
-      val clones = s.range(100).crossJoin(
+      val clones = s.range(0, 100, 1, 1).crossJoin(
           broadcast(base.filter(col("doc_id") === 1).select(col("text"))))
         .select((col("id") + 6000000).as("doc_id"), col("text"),
           lit("clone.example.com").as("source"))
@@ -776,17 +783,29 @@ object SparkEntry {
       // pairs), hash-checked against the Python mirror's independent
       // two-snapshot composition (fixtures/gen_hash_expected.py).
       // The temp base dir is per-invocation (OS tmp lifecycle).
-      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
-      val baseDocs = docs.filter(col("doc_id") < 250)
+      // spread AFTER composing each snapshot, not before: three
+      // union branches of an already-spread frame stack to 3x the
+      // partition count (96-task stages over 5k rows in the r08 audit)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val baseDocs = spread(docs.filter(col("doc_id") < 250))
       val crossDups = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 7000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
       val newDups = docs.filter(col("doc_id") >= 250 && col("doc_id") < 260)
         .select((col("doc_id") + 7100000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
-      val newDocs = docs.filter(col("doc_id") >= 250)
-        .unionByName(crossDups).unionByName(newDups)
-      val dir = java.nio.file.Files.createTempDirectory("graft-q72-").toString
+      val newDocs = spread(docs.filter(col("doc_id") >= 250)
+        .unionByName(crossDups).unionByName(newDups))
+      // JVM-exit cleanup: repeated sweeps in one long-lived session must
+      // not leak a staged base dir per invocation (ADVICE r07)
+      val dirPath = java.nio.file.Files.createTempDirectory("graft-q72-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Exception => }))
+      val dir = dirPath.toString
       TextOps.buildMinhashBase(baseDocs, col("doc_id"), col("text"), dir)
       val r = TextOps.dedupAgainstBase(newDocs, col("doc_id"), col("text"), dir)
       r.keepers.select(lit("keeper").as("kind"), col("doc_id").as("id_a"),
@@ -892,7 +911,7 @@ object SparkEntry {
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
-      val cluster = s.range(500).crossJoin(
+      val cluster = s.range(0, 500, 1, 1).crossJoin(
           broadcast(docs.filter(col("doc_id") === 0).select(col("text"))))
         .select((col("id") + 5000000).as("doc_id"), col("text"))
       TextOps.dedupCascade(docs.unionByName(dups).unionByName(cluster),

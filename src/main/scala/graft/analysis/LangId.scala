@@ -37,8 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * of truth. `graft.LangProfileDump` exports them to
   * `fixtures/lang_profiles.json`, and the Python oracle mirror
   * (`fixtures/gen_lang_expected.py`) re-derives the trigram profiles
-  * and re-scores independently from that JSON — change the lists, re-run
-  * the dump + generator (CLAUDE.md regen block), never edit the JSON.
+  * and re-scores independently from that JSON — change the lists, then
+  * re-run `sbt "runMain graft.LangProfileDump fixtures/lang_profiles.json"`
+  * and `python3 fixtures/gen_lang_expected.py`; never edit the JSON.
   *
   * Scale shape: scoring is map-only (one fused projection per row);
   * the profile table (~10k trigrams x L doubles) ships once per

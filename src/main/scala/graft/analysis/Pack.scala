@@ -20,12 +20,13 @@ import org.apache.spark.sql.functions._
   *  1. per-doc token arrays + counts, map-only, one materialized
   *     barrier (consumed by the counts pass and the final slice join);
   *  2. a COUNTS-ONLY frame (doc_id, n, ord — ~24-byte rows, no tokens)
-  *     is range-partitioned on the order key; per-partition totals
-  *     (one row per partition, the only collect) prefix-sum on the
-  *     driver into partition base offsets; a per-partition window
-  *     (bounded: partitions are range-split, never one key) adds the
+  *     is bucketed by a deterministic monotone function of the order
+  *     key (its top bits — uniform, so range-balanced); per-bucket
+  *     totals (one row per bucket, the only collect) prefix-sum on
+  *     the driver into bucket base offsets; a per-bucket window
+  *     (bounded: buckets are range-split, never one key) adds the
   *     local running sum — every doc knows its global token offset
-  *     without any global sort;
+  *     without any global sort or sampling pass;
   *  3. offsets join back to the token arrays (the tokens' first
   *     shuffle), each doc explodes into the 1+ sequences it overlaps,
   *     and a groupBy(seq_id) assembles each sequence (the tokens'
@@ -53,17 +54,29 @@ object Pack {
         .withColumn("n", size(col("tids")).cast("long"))
         .filter(col("n") > 0),
       staging, "pack_tokens", scope)
-    // the counts-only prefix-sum path: materialize AFTER the range
-    // partition so the sampled boundaries (and spark_partition_id) are
-    // identical for the totals pass and the window pass
+    // the counts-only prefix-sum path. The prefix buckets are a
+    // DETERMINISTIC monotone function of the order key — the top
+    // ceil(log2(parallelism)) bits of the signed `ord` (an arithmetic
+    // shift preserves signed order, and xxhash64 output is uniform
+    // over the full signed range, so buckets are range-balanced like
+    // the sampled repartitionByRange this replaces) — instead of
+    // spark_partition_id over a sampled range partition. That removes
+    // the range partitioner's sampling job, the physical-partitioning
+    // barrier the old form needed so the totals pass and the window
+    // pass saw identical pids (r08: one fewer materialization + one
+    // fewer exchange), and any dependence on physical layout at all:
+    // offsets are now a pure function of (ord, doc_id), which is also
+    // the stronger form of the repartition-invariance contract.
     val shufflePartitions =
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val rp = Staging.materialize(
-      toks.select(col("doc_id"), col("n"), xxhash64(col("doc_id")).as("ord"))
-        .repartitionByRange(shufflePartitions, col("ord"), col("doc_id"))
-        .withColumn("pid", spark_partition_id()),
-      staging, "pack_counts", scope)
-    val partTotals = rp.groupBy("pid").agg(sum(col("n")).as("pn"))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, shufflePartitions - 1).toLong)
+    val pidCol =
+      if (bits == 0) lit(0) else shiftright(col("ord"), (64 - bits).toInt).cast("int")
+    val counts = toks
+      .select(col("doc_id"), col("n"), xxhash64(col("doc_id")).as("ord"))
+      .withColumn("pid", pidCol)
+    val partTotals = counts.groupBy("pid").agg(sum(col("n")).as("pn"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val partBase = partTotals.map { case (p, pn) =>
@@ -72,7 +85,7 @@ object Pack {
     val baseDf = spark.createDataFrame(partBase).toDF("pid", "poff")
     val w = Window.partitionBy(col("pid")).orderBy(col("ord"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = rp.join(broadcast(baseDf), Seq("pid"))
+    val offsets = counts.join(broadcast(baseDf), Seq("pid"))
       .withColumn("cum", sum(col("n")).over(w))
       .select(col("doc_id"), (col("poff") + col("cum") - col("n")).as("off"))
     // each doc overlaps sequences floor(off/L) .. floor((off+n-1)/L);

@@ -1377,6 +1377,16 @@ object TextOps {
     * part of the table's contract: incremental calls must pass the SAME
     * values or band keys will not collide (documented, not detectable
     * from the table itself).
+    *
+    * CAVEAT — this seeds the RAW corpus with no exact-duplicate
+    * collapse, while [[dedupAgainstBase]]'s new-vs-base equi-join is
+    * deliberately unsalted on the premise that a CURATED base keeps its
+    * buckets bounded by construction. A base seeded directly from a
+    * corpus containing a mega identical cluster puts that whole cluster
+    * in one (band, bucket) and every subsequent incremental join fans
+    * out against it unboundedly. Collapse exact duplicates first
+    * ([[dedupCascade]] / [[dedupExact]] keepers, or seed from a staged
+    * [[curate]] run) when the corpus may carry identical-text clusters.
     */
   def buildMinhashBase(docs: DataFrame, id: Column, text: Column,
       baseDir: String, n: Int = 3, m: Int = 16, bands: Int = 4,
@@ -1539,6 +1549,13 @@ object TextOps {
       staging, "run_hashes", scope)
     val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
+    // 100 TB note (no-silent-caps house rule applied to run hashes): at
+    // bench scale `dup` broadcasts and `sh` never shuffles for this
+    // flag join; at corpus scale the duplicated-hash set outgrows the
+    // broadcast threshold and this becomes an SMJ left-semi where a
+    // ubiquitous boilerplate minRun-gram is a hot key — AQE skew-join
+    // handling covers left-semi splits, and the partial-agg `dup` side
+    // stays one row per hash either way. Watch item, not a defect.
     val flagged = sh.join(dup.select(col("h")), Seq("h"), "left_semi")
     val mergedT = "array<struct<s:int,e:int>>"
     flagged.groupBy(col("doc_id"))
@@ -1592,13 +1609,33 @@ object TextOps {
     val perDoc = runs.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start").as("s"), col("len").as("l")))
         .as("__rs"))
+    // LINEAR complement-slice cut (r08): sort the doc's intervals once
+    // and emit the kept gaps between them with a cursor walk — O(T +
+    // R log R) per doc instead of the old per-token `exists` over the
+    // interval array (O(T * R): quadratic-ish for a doc that is mostly
+    // duplicated runs). `greatest` on the cursor makes overlapping,
+    // touching, negative-start and past-the-end intervals all degrade
+    // to exactly the old per-token coverage semantics (a property test
+    // pins equality against the per-token form on adversarial interval
+    // sets); slice lengths are clamped at 0, and slice itself clamps
+    // reads past the token array. Intervals must be non-null rows, the
+    // [[duplicatedRuns]] output shape.
+    val emptyRs = typedlit(Seq.empty[(Int, Int)]).cast("array<struct<s:int,l:int>>")
+    val acc0 = struct(lit(0).as("c"),
+      typedlit(Seq.empty[Seq[String]]).cast("array<array<string>>").as("parts"))
     docs.select(id.as("doc_id"), text.as("text"))
       .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), array_join(
-        filter(tokens(col("text")), (t, i) =>
-          !exists(coalesce(col("__rs"),
-              typedlit(Seq.empty[(Int, Int)]).cast("array<struct<s:int,l:int>>")),
-            r => i >= r("s") && i < r("s") + r("l"))),
-        " ").as("text"))
+      .withColumn("__toks", tokens(col("text")))
+      .select(col("doc_id"), aggregate(
+        array_sort(coalesce(col("__rs"), emptyRs)),
+        acc0,
+        (acc, r) => struct(
+          greatest(acc("c"), r("s"), r("s") + r("l")).as("c"),
+          concat(acc("parts"), array(slice(col("__toks"), acc("c") + 1,
+            greatest(lit(0), r("s") - acc("c"))))).as("parts")),
+        acc => array_join(flatten(concat(acc("parts"),
+          array(slice(col("__toks"), acc("c") + 1,
+            greatest(lit(0), size(col("__toks")) - acc("c")))))), " "))
+        .as("text"))
   }
 }

@@ -194,11 +194,16 @@ object VectorOps {
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      // dedupe pairs BEFORE the expensive score: a pair colliding in
-      // several tables/probes pays ONE cosine, not one per collision
-      // (the vectors ride along; they are identical per pair)
+      // score BEFORE the pair-dedup exchange: a collision row re-scored
+      // is one fused array pass (~dim flops), while a collision row
+      // SHUFFLED carries both full vectors (~16 dim bytes) — the
+      // exchange then moves (query_id, neighbor_id, cos) only, and the
+      // duplicate rows it collapses are byte-identical because cosine
+      // is a pure function of the pair (guide §2.3 / §8: decide with
+      // small rows).
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec"), fused).as("cos"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec"), fused))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -235,9 +240,12 @@ object VectorOps {
       col("vec_id").as("id_b"), col("embedding").as("v_b"))
     a.join(b, Seq("table", "bucket", "__salt"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      // score + threshold BEFORE the pair-dedup exchange (see annTopK):
+      // the exchange then carries the thresholded (id_a, id_b, cos)
+      // rows instead of two full vectors per band collision
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b"), fused).as("cos"))
       .filter(col("cos") >= minCos)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Centroid dot products for cell assignment, as a vec-Column ->
@@ -362,8 +370,12 @@ object VectorOps {
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // score BEFORE the pair-dedup exchange (see annTopK): the
+      // exchange carries (query_id, neighbor_id, cos), not two vectors
+      // per cell collision
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec"), fused).as("cos"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec"), fused))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))

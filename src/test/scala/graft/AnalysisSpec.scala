@@ -1140,6 +1140,38 @@ class AnalysisSpec extends AnyFunSuite {
       s"runs side no longer broadcasts:\n$plan")
   }
 
+  test("exciseRuns: complement-slice cut == per-token coverage on adversarial intervals") {
+    // the r08 linear cut (sorted-interval cursor walk) must keep exactly
+    // the tokens the old per-token `exists` form kept, for ANY interval
+    // set: overlapping, nested, touching, duplicated, negative starts,
+    // zero/negative lengths, past-the-end — and a pathological doc that
+    // is MOSTLY runs (the case the walk makes linear)
+    val rnd = new scala.util.Random(7)
+    val docs0 = (0L until 40L).map { i =>
+      val n = rnd.nextInt(30)
+      (i, (0 until n).map(t => s"t${rnd.nextInt(8)}").mkString(" "))
+    }
+    val runs0 = docs0.flatMap { case (i, text) =>
+      val nt = text.split(" ").count(_.nonEmpty)
+      (0 until rnd.nextInt(6)).map { _ =>
+        (i, rnd.nextInt(math.max(1, nt + 6)) - 3, rnd.nextInt(10) - 2)
+      }
+    }
+    val got = TextOps.exciseRuns(docs0.toDF("doc_id", "text"),
+        col("doc_id"), col("text"),
+        runs0.toDF("doc_id", "start", "len"))
+      .as[(Long, String)].collect().toMap
+    val runsByDoc = runs0.groupBy(_._1)
+    docs0.foreach { case (i, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val rs = runsByDoc.getOrElse(i, Seq.empty)
+      val expect = toks.zipWithIndex.collect {
+        case (t, ix) if !rs.exists { case (_, s, l) => ix >= s && ix < s + l } => t
+      }.mkString(" ")
+      assert(got(i) == expect, s"doc $i: got '${got(i)}' expect '$expect' runs ${rs}")
+    }
+  }
+
   test("duplicatedRuns: staged mode matches, shuffles carry no text") {
     val w = (0 until 20).map(i => s"w$i")
     val docs = Seq(
