@@ -266,7 +266,7 @@ object SparkEntry {
       // line-frequency boilerplate removal: nav header + legal footer
       // injected into EVERY doc (so they cross the minDocs bar), body
       // lines survive; output is the kept (doc_id, line_no, line) rows
-      val wrapped = spread(t(s, d, "documents")).select(col("doc_id"),
+      val wrapped = t(s, d, "documents").select(col("doc_id"),
         concat(lit("HOME | ABOUT | CONTACT\n"), col("text"),
           lit("\n(c) example corp - all rights reserved")).as("text"))
       TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"), minDocs = 100L)
@@ -275,7 +275,7 @@ object SparkEntry {
     "q59_corpus_stats" -> ((s, d) =>
       // per-source corpus composition report: exact volumes + language
       // mix, one partial-agg shuffle keyed by source
-      TextOps.corpusStats(spread(t(s, d, "documents")), col("source"), col("text"))),
+      TextOps.corpusStats(t(s, d, "documents"), col("source"), col("text"))),
 
     "q56_redact_pii" -> ((s, d) => {
       // PII redaction + URL->host over deterministic synthesized PII;
@@ -328,7 +328,7 @@ object SparkEntry {
     "q55_reassemble" -> ((s, d) => {
       // the q53 boilerplate strip composed with document reassembly:
       // kept lines -> one cleaned flat text per doc (asDocs = true)
-      val wrapped = spread(t(s, d, "documents")).select(col("doc_id"),
+      val wrapped = t(s, d, "documents").select(col("doc_id"),
         concat(lit("HOME | ABOUT | CONTACT\n"), col("text"),
           lit("\n(c) example corp - all rights reserved")).as("text"))
       TextOps.stripBoilerplate(wrapped, col("doc_id"), col("text"),
@@ -678,10 +678,12 @@ object SparkEntry {
       // embedding-cosine near-dup: exact duplicates planted at
       // vec_id+10000; identical vectors share every LSH bucket, so the
       // candidate join catches them with certainty -> oracle-checkable
-      val emb = spread(t(s, d, "embeddings"))
+      val emb = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
       val dups = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
-      VectorOps.cosineDupPairs(emb.unionByName(dups), minCos = 0.999)
+      // spread the COMPOSED corpus once (union branches of a spread
+      // frame stack partitions; see q72)
+      VectorOps.cosineDupPairs(spread(emb.unionByName(dups)), minCos = 0.999)
         .select(col("id_a"), col("id_b"))
     }),
     "q27_fingerprint" -> ((s, d) =>
@@ -715,7 +717,7 @@ object SparkEntry {
       // the Python mirror's independent train + greedy-apply
       // (fixtures/gen_hash_expected.py, expected_bpe.parquet)
       import graft.analysis.Bpe
-      val docs = spread(t(s, d, "documents"))
+      val docs = t(s, d, "documents")
       val vocab = s.sparkContext.broadcast(
         Bpe.train(docs, col("text"), nMerges = 200))
       docs.select(col("doc_id"),
@@ -850,7 +852,7 @@ object SparkEntry {
       // order) — so q76 green certifies the excision arithmetic AND,
       // independently of q74's own check, that the Spark runs frame
       // equals the fixture's.
-      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
       val planted = base
         .filter(col("doc_id") < 15 &&
           size(TextOps.tokens(col("text"))) >= 25)

@@ -297,8 +297,14 @@ object Bpe {
       maxWordTypes: Int = 100000): TokenVocab = {
     import docs.sparkSession.implicits._
     val merges = train(docs, text, nMerges, maxWordTypes).merges
-    val alpha = docs.select(explode_outer(regexp_extract_all(lower(text),
-        lit("[^ \\t\\n\\x0B\\f\\r]"), lit(0))).as("ch"))
+    // per-doc array_distinct BEFORE the explode: the exploded row count
+    // drops from corpus-characters to docs x alphabet-size (identical
+    // distinct set — distinct of a union is the union of per-doc
+    // distincts), so the explode+aggregate is bounded by the alphabet,
+    // not the text volume (r08)
+    val alpha = docs.select(explode_outer(array_distinct(
+        regexp_extract_all(lower(text),
+          lit("[^ \\t\\n\\x0B\\f\\r]"), lit(0)))).as("ch"))
       .filter(col("ch").isNotNull).distinct().as[String].collect()
     TokenVocab(alpha.sortWith(cpLess).toSeq, merges)
   }

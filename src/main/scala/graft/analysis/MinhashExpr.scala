@@ -157,6 +157,68 @@ object ShingleHashes {
   }
 }
 
+/** Positional (stride-1, NON-deduplicated) shingle hashes: element p is
+  * [[ShingleHashes]]' window hash for the window STARTING at token p —
+  * same `xxhash64(concat_ws(" ", window), 42)` formula, without the
+  * distinct-set collapse — for consumers that need one hash PER
+  * POSITION ([[TextOps.duplicatedRuns]]'s verbatim-run pass). The HOF
+  * twin (`transform(sequence(...), i => xxhash64(concat_ws(" ",
+  * slice(toks, i+1, n))))`) allocates a slice array + concat per
+  * position; this walks one reused window buffer (byte-identical by
+  * test). Fewer than `n` tokens -> empty array.
+  */
+case class PosShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pos_shingle_hashes"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("posShingleHashes", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalCore($c);"
+    })
+
+  @transient private lazy val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any =
+    evalCore(input.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code (public for janino). */
+  def evalCore(toks: ArrayData): GenericArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](len - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      // null elements skipped by concatWs — the concat_ws twin's rule
+      while (j < n) {
+        window(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(sep, window: _*)
+      out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PosShingleHashes {
+  def of(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(PosShingleHashes(Bridge.expression(tokens), n))
+  }
+}
+
 /** Fused 64-bit SimHash from a token-hash array: one pass maintaining
   * 64 vote counters. The HOF encoding pays a separate `aggregate` per
   * bit — and because each references the token-hash subtree, Catalyst

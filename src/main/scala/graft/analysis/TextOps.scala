@@ -998,30 +998,36 @@ object TextOps {
   private def curationStage(docs: DataFrame, id: Column, text: Column,
       lang: String, minTokens: Int, maxPunctRatio: Double,
       fused: Boolean = true,
-      langId: Option[Column => Column] = None): DataFrame = {
+      langId: Option[Column => Column] = None,
+      extra: Seq[String] = Nil): DataFrame = {
+    // `extra`: caller-named metadata columns (e.g. source) carried
+    // through the projection UNTOUCHED — they never feed the verdict
+    // (see the INVARIANT above), they just ride so compositions like
+    // [[release]] need no re-join against the raw table to recover them
+    val extraCols = extra.map(col)
     val featured =
       if (fused) {
         // one fused walk instead of seven regex passes; byte-identical
         // to the HOF chain below (cross-validation test + the q49/q50
         // oracles, whose DuckDB side mirrors the regex semantics)
         val cf = col("__cf")
-        docs.select(id.as("doc_id"), text.as("text"))
+        docs.select(id.as("doc_id") +: text.as("text") +: extraCols: _*)
           .withColumn("__cf", CurationFeatures.of(col("text")))
-          .select(col("doc_id"), col("text"),
+          .select(col("doc_id") +: col("text") +:
             langArgmax(TextOps.LangMarkerWords.map { case (l, _) =>
               l -> cf.getField(s"s_$l")
-            }).as("lang_pred"),
-            cf.getField("n_tokens").as("n_tokens"),
-            when(cf.getField("n_chars") > 0,
+            }).as("lang_pred") +:
+            cf.getField("n_tokens").as("n_tokens") +:
+            (when(cf.getField("n_chars") > 0,
               cf.getField("n_punct").cast("double") / cf.getField("n_chars"))
-              .otherwise(0.0).as("punct_ratio"))
+              .otherwise(0.0).as("punct_ratio")) +: extraCols: _*)
       } else {
-        docs.select(id.as("doc_id"), text.as("text"))
+        docs.select(id.as("doc_id") +: text.as("text") +: extraCols: _*)
           .withColumn("f", qualityFeatures(col("text")))
           .withColumn("lang_pred", langIdBest(col("text")))
-          .select(col("doc_id"), col("text"), col("lang_pred"),
-            col("f.n_tokens").as("n_tokens"),
-            col("f.punct_ratio").as("punct_ratio"))
+          .select(col("doc_id") +: col("text") +: col("lang_pred") +:
+            col("f.n_tokens").as("n_tokens") +:
+            col("f.punct_ratio").as("punct_ratio") +: extraCols: _*)
       }
     // pluggable language classifier (e.g. the 26-language char-n-gram
     // [[LangId]]); MUST stay a pure function of the text column — the
@@ -1064,10 +1070,11 @@ object TextOps {
       staging: Option[String] = None,
       scope: CacheScope = CacheScope.unmanaged,
       fused: Boolean = true,
-      langId: Option[Column => Column] = None): CurationResult = {
+      langId: Option[Column => Column] = None,
+      extra: Seq[String] = Nil): CurationResult = {
     val staged =
       curationStage(docs, id, text, lang, minTokens, maxPunctRatio, fused,
-        langId)
+        langId, extra)
     // keepers feed BOTH the near-dup join and the final anti-join:
     // materialize so the regex-heavy hygiene projection and the
     // exact-dedup shuffle run once (default cache, lifecycle is the
@@ -1161,9 +1168,12 @@ object TextOps {
     require(splitOn == "doc_id" || splitOn == "source",
       s"splitOn must be 'doc_id' or 'source', got '$splitOn'")
     val named = docs.select(id.as("doc_id"), text.as("text"), source.as("source"))
+    // `source` rides the curation projection (curationStage `extra`) so
+    // the decontaminated set needs NO re-join against the raw table to
+    // recover it (r08: one join + one raw-union re-scan removed)
     val cur = curate(named, col("doc_id"), col("text"), lang, minTokens,
       maxPunctRatio, n, m, bands, minJaccard, maxBucket, exactClusters,
-      staging, scope, fused)
+      staging, scope, fused, extra = Seq("source"))
     // BARRIER the curate output: it feeds the decontamination semi-join
     // AND the clean anti-join, and is itself the result of the LSH
     // near-dup drop — unmaterialized, each downstream reference would
@@ -1184,8 +1194,7 @@ object TextOps {
     // semi-joins back against it (two references = two n-gram
     // decontamination passes without this)
     val clean = Staging.materialize(
-      curated.join(contaminated, Seq("doc_id"), "left_anti")
-        .join(named.select(col("doc_id"), col("source")), Seq("doc_id")),
+      curated.join(contaminated, Seq("doc_id"), "left_anti"),
       staging, "release_clean", scope)
     // the Int.MaxValue default means "no quota": skip the stage rather
     // than rank every source's full membership through a top-(2^31)
@@ -1539,12 +1548,15 @@ object TextOps {
       .withColumn("nt", size(col("toks")))
       .filter(col("nt") >= minRun)
     // (doc_id, pos, h): one row per stride-1 window. Barrier: consumed
-    // by the frequency count AND the flag join.
+    // by the frequency count AND the flag join. Hashing is the fused
+    // [[PosShingleHashes]] (one reused window buffer per doc; the HOF
+    // twin — transform + slice + concat_ws + xxhash64 — is
+    // byte-identical by test and was the measured per-doc hot spot:
+    // a slice allocation + string concat per position).
     val sh = Staging.materialize(
       toked
-        .select(col("doc_id"), posexplode_outer(transform(
-          sequence(lit(0), col("nt") - minRun),
-          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(minRun)))))))
+        .select(col("doc_id"),
+          posexplode_outer(PosShingleHashes.of(col("toks"), minRun)))
         .toDF("doc_id", "pos", "h"),
       staging, "run_hashes", scope)
     val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))

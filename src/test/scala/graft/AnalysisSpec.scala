@@ -334,6 +334,30 @@ class AnalysisSpec extends AnyFunSuite {
     assert(short.as[Seq[Long]].head().isEmpty)
   }
 
+  test("fused PosShingleHashes == HOF chain (per-position, order too)") {
+    val n = 3
+    val toks = TextOps.tokens(col("text"))
+    val hof = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    val both = documents.select(
+      graft.analysis.PosShingleHashes.of(toks, n).as("fused"), hof.as("hofc"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty && both.forall { case (f, h) => f == h })
+    // short docs (< n tokens) yield empty arrays
+    val short = Seq("one two").toDF("text").select(
+      graft.analysis.PosShingleHashes.of(TextOps.tokens(col("text")), n))
+    assert(short.as[Seq[Long]].head().isEmpty)
+    // positional form: repeated windows KEEP their duplicates, and each
+    // position's hash equals the set form's member for that window
+    val rep = Seq("a b a b a b").toDF("text").select(
+      graft.analysis.PosShingleHashes.of(TextOps.tokens(col("text")), 2).as("p"),
+      graft.analysis.ShingleHashes.of(TextOps.tokens(col("text")), 2).as("s"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(rep._1.length == 5 && rep._1.toSet == rep._2.toSet)
+  }
+
   test("fused Simhash64 == HOF chain, byte-identical") {
     val both = documents.select(
       TextOps.simhash(col("text")).as("fused"), // default = fused
