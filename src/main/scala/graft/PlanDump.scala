@@ -28,6 +28,10 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // deep compositions print each cached subtree per reference —
+      // untruncated, q64's formatted plan is multiple MB of repeats;
+      // Spark's own truncation marker keeps the artifact reviewable
+      .config("spark.sql.maxPlanStringLength", "200000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))

@@ -124,6 +124,14 @@ private[analysis] object Staging {
       // Caching materializes every column regardless of the count's
       // pruning, so downstream stages all read the one materialization.
       cached.count()
-      cached
+      // ... and hand downstream compositions the InMemoryRelation LEAF
+      // (what execution substitutes anyway): deep barrier chains
+      // (curate -> release) otherwise re-analyze and re-print the full
+      // child tree per reference — analyzer time multiplicative in
+      // composition depth, measured in seconds of the release bench
+      // entry. Unpersist lifecycle unchanged (scope holds the original
+      // cached frame; a dropped cache recomputes through its child).
+      org.apache.spark.sql.graftbridge.Bridge.cachedLeaf(cached)
+        .getOrElse(cached)
   }
 }

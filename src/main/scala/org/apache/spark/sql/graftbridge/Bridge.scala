@@ -13,6 +13,27 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A MATERIALIZED cached DataFrame re-rooted at its InMemoryRelation
+    * LEAF — the plan CacheManager substitutes at execution time anyway,
+    * surfaced at the LOGICAL level so downstream compositions analyze a
+    * one-node leaf instead of re-walking (and re-printing) the cached
+    * frame's entire child tree per reference. Deep barrier chains
+    * (curate -> release) otherwise pay analyzer time multiplicative in
+    * composition depth. None when the frame is not in the cache (the
+    * caller should then use the frame as-is). Execution semantics are
+    * unchanged: the same InMemoryTableScan, the same unpersist
+    * lifecycle (an unpersisted relation recomputes through its cached
+    * child plan like any RDD whose persistence was dropped).
+    */
+  def cachedLeaf(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val spark = classic.sparkSession
+    spark.sharedState.cacheManager.lookupCachedData(spark, classic.logicalPlan)
+      .map(cd => org.apache.spark.sql.classic.Dataset.ofRows(spark,
+        cd.cachedRepresentation))
+  }
+
   /** AbstractDataType is private[sql], but ExpectsInputTypes /
     * ImplicitCastInputTypes implementations must name it in their
     * `inputTypes` signature — this public alias (legal: defined inside
