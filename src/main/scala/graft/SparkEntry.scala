@@ -316,12 +316,12 @@ object SparkEntry {
       // (docs 0-4) over the corpus + planted contaminated probes
       // (doc 0-2's text behind a prefix) — hash-checked against the
       // independent Python mirror (fixtures/gen_hash_expected.py)
-      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val probes = docs.filter(col("doc_id") < 3)
         .select((col("doc_id") + 3000000).as("doc_id"),
           concat(lit("prefix words ahead then "), col("text")).as("text"))
       val bench = docs.filter(col("doc_id") < 5).select(col("text"))
-      TextOps.contaminationHits(docs.unionByName(probes),
+      TextOps.contaminationHits(spread(docs.unionByName(probes)),
         col("doc_id"), col("text"), bench, col("text"), n = 8, minHits = 1L)
     }),
 
@@ -644,11 +644,11 @@ object SparkEntry {
       Pipeline.extractRows(Corpus.generate(s, 200), "auto")),
     "q25_minhash_pairs" -> ((s, d) => {
       // inject near-dups so the candidate set is non-empty
-      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
-      TextOps.minhashDupPairs(docs.unionByName(dups),
+      TextOps.minhashDupPairs(spread(docs.unionByName(dups)),
         col("doc_id"), col("text"), n = 3, m = 16, bands = 4, minJaccard = 0.5)
     }),
     "q26_simhash" -> ((s, d) =>
@@ -657,11 +657,11 @@ object SparkEntry {
     "q45_simhash_dedup" -> ((s, d) => {
       // banded-simhash near-dup join (xxhash-based -> rows-only); inject
       // near-dups so the candidate set is non-empty
-      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 2000000).as("doc_id"),
           concat(col("text"), lit(" zz")).as("text"))
-      TextOps.simhashDupPairs(docs.unionByName(dups),
+      TextOps.simhashDupPairs(spread(docs.unionByName(dups)),
         col("doc_id"), col("text"), bands = 4, maxHamming = 3)
     }),
     "q47_ann_ivf" -> ((s, d) => {
@@ -681,9 +681,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
       val dups = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
-      // spread the COMPOSED corpus once (union branches of a spread
-      // frame stack partitions; see q72)
-      VectorOps.cosineDupPairs(spread(emb.unionByName(dups)), minCos = 0.999)
+      VectorOps.cosineDupPairs(emb.unionByName(dups), minCos = 0.999)
         .select(col("id_a"), col("id_b"))
     }),
     "q27_fingerprint" -> ((s, d) =>
@@ -700,14 +698,14 @@ object SparkEntry {
       // drop) over base docs + injected near-dups + a 100-clone cluster;
       // kept set hash-checked against the independent Python mirror
       // (fixtures/gen_hash_expected.py)
-      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
       val clones = s.range(0, 100, 1, 1).crossJoin(
           broadcast(docs.filter(col("doc_id") === 1).select(col("text"))))
         .select((col("id") + 6000000).as("doc_id"), col("text"))
-      TextOps.curate(docs.unionByName(dups).unionByName(clones),
+      TextOps.curate(spread(docs.unionByName(dups).unionByName(clones)),
         col("doc_id"), col("text")).kept
     }),
     "q65_bpe_tokens" -> ((s, d) => {
@@ -759,7 +757,7 @@ object SparkEntry {
       // pages per source. Hash-checked against the Python mirror's
       // composition of the same four stages
       // (fixtures/gen_hash_expected.py, expected_release.parquet)
-      val base = spread(t(s, d, "documents"))
+      val base = t(s, d, "documents")
         .select(col("doc_id"), col("text"), col("source"))
       val dups = base.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
@@ -770,7 +768,7 @@ object SparkEntry {
         .select((col("id") + 6000000).as("doc_id"), col("text"),
           lit("clone.example.com").as("source"))
       val bench = base.filter(col("doc_id") < 5).select(col("text"))
-      TextOps.release(base.unionByName(dups).unionByName(clones),
+      TextOps.release(spread(base.unionByName(dups).unionByName(clones)),
           col("doc_id"), col("text"), col("source"), bench, col("text"),
           maxPerSource = 12).shards
         .select(col("doc_id"), col("source"), col("n_tokens"), col("split"))
@@ -909,14 +907,14 @@ object SparkEntry {
       // stage and never reach the LSH join; pairs are among keepers.
       // Hash-checked against the independent Python implementation
       // (fixtures/gen_hash_expected.py, pure-Python XXH64)
-      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
       val cluster = s.range(0, 500, 1, 1).crossJoin(
           broadcast(docs.filter(col("doc_id") === 0).select(col("text"))))
         .select((col("id") + 5000000).as("doc_id"), col("text"))
-      TextOps.dedupCascade(docs.unionByName(dups).unionByName(cluster),
+      TextOps.dedupCascade(spread(docs.unionByName(dups).unionByName(cluster)),
         col("doc_id"), col("text"))._1
     }),
     "q51_dup_clusters" -> ((s, d) => {
@@ -924,11 +922,11 @@ object SparkEntry {
       // over the q25 near-dup pair graph: (doc_id, cluster_keeper) via
       // min-id label propagation — hash-checked against an independent
       // Python union-find mirror (fixtures/gen_hash_expected.py)
-      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
-      TextOps.dupClusters(TextOps.minhashDupPairs(docs.unionByName(dups),
+      TextOps.dupClusters(TextOps.minhashDupPairs(spread(docs.unionByName(dups)),
         col("doc_id"), col("text"), n = 3, m = 16, bands = 4, minJaccard = 0.5))
     }),
     "q28_ann_lsh" -> ((s, d) => {

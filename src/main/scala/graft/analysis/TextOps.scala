@@ -1282,8 +1282,16 @@ object TextOps {
       }(Encoders.row(df.schema))
       cut(counted, name).select(col("doc_id"), col("new_label").as("label"))
     }
-    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // symmetrize in ONE pass over `pairs` (explode of the two
+    // directions), not a self-union: an unmaterialized pair frame is
+    // typically the whole LSH self-join, and a union's two references
+    // re-execute it — measured as a doubled set of base exchanges in
+    // the q51 stage audit (r08). explode_outer per the house rule for
+    // computed arrays.
+    val edges = cut(pairs.select(explode_outer(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct(), "edges")
     // round 1 reads the label table three times (neighbor join, left
     // join, jump dereference) — cut the seed so those are scans, not
