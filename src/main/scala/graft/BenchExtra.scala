@@ -60,14 +60,18 @@ object BenchExtra {
         val tPlan = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val t1 = System.nanoTime()
-        ((t1 - t0) / 1e9, (tPlan - t0) / 1e9, stages.size)
+        Thread.sleep(400) // drain the listener bus BEFORE snapshotting
+        val snap = { val a = new java.util.ArrayList[String](); stages.forEach(s => a.add(s)); a }
+        ((t1 - t0) / 1e9, (tPlan - t0) / 1e9, snap)
       }
-      Thread.sleep(600) // drain listener bus
+      // report the BEST trial's wall AND ITS OWN stage breakdown (the
+      // previous form printed the last trial's stages under the best
+      // trial's wall)
       val best = timings.minBy(_._1)
       println(f"== $name  best ${best._1}%.3f s " +
-        f"(build ${best._2}%.3f s), ${best._3} stages, " +
+        f"(build ${best._2}%.3f s), ${best._3.size} stages, " +
         s"all=${timings.map(t => f"${t._1}%.2f").mkString(",")}")
-      stages.forEach(println(_))
+      best._3.forEach(println(_))
       spark.sparkContext.setJobDescription(null)
     }
     spark.stop()

@@ -39,6 +39,26 @@ object SparkEntry {
     * action actually forces per-row compute (joins/aggs/explodes over
     * derived values); scan/pushdown queries keep their bare scans.
     */
+  /** JVM-exit cleanup registry for q72's per-invocation staged base
+    * dirs: one shutdown hook, however many invocations (each hook
+    * thread would otherwise accumulate in a long-lived session).
+    */
+  private object Q72TempDirs {
+    private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(
+      new Thread(() => dirs.forEach { d =>
+        try {
+          val walk = java.nio.file.Files.walk(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally walk.close()
+        } catch { case _: Exception => }
+      }))
+    def register(d: java.nio.file.Path): Unit = { hook; dirs.add(d) }
+  }
+
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     if (df.rdd.getNumPartitions < p)
@@ -352,7 +372,7 @@ object SparkEntry {
       // paragraph (the SUBSCRIBE block in every doc, dropped by the
       // cross-doc frequency pass); organic paragraphs survive; output
       // is the documents rebuilt with blank-line separators
-      val wrapped = spread(t(s, d, "documents")).select(col("doc_id"),
+      val wrapped = spread(t(s, d, "documents").select(col("doc_id"), col("text"))).select(col("doc_id"),
         concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n\n"), col("text"),
           lit("\n\nfooter tag "), col("doc_id"),
           lit("\n\nfooter tag "), col("doc_id")).as("text"))
@@ -501,7 +521,7 @@ object SparkEntry {
       // base-only run would emit; gen_hash_expected.py asserts both
       // corpora are salt-free so a corpus change cannot silently
       // invalidate this oracle)
-      val docs = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
+      val docs = spread(t(s, d, "documents").select(col("doc_id"), col("text")))
       TextOps.splitLeakage(
         TextOps.splitByHash(docs, col("doc_id"),
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
@@ -691,7 +711,7 @@ object SparkEntry {
       // end-to-end curation hygiene pass: language gate + quality window
       // + exact-dedup keeper — fully SQL-expressible, so the whole
       // composition is cross-engine hash-checked
-      TextOps.curationFilter(spread(t(s, d, "documents")),
+      TextOps.curationFilter(spread(t(s, d, "documents").select(col("doc_id"), col("text"))),
         col("doc_id"), col("text"))),
     "q50_curate_full" -> ((s, d) => {
       // the COMPLETE curation pass (filter -> exact collapse -> near-dup
@@ -731,7 +751,7 @@ object SparkEntry {
       // the DuckDB hash compare covers full content without nested
       // types; the mirror packs the same corpus independently.
       import graft.analysis.{Bpe, Pack}
-      val docs = spread(t(s, d, "documents"))
+      val docs = spread(t(s, d, "documents").select(col("doc_id"), col("text")))
       val vocab = s.sparkContext.broadcast(
         Bpe.buildTokenVocab(docs, col("text"), nMerges = 200))
       val packed = Pack.packSequences(docs, col("doc_id"), col("text"),
@@ -797,14 +817,11 @@ object SparkEntry {
       val newDocs = spread(docs.filter(col("doc_id") >= 250)
         .unionByName(crossDups).unionByName(newDups))
       // JVM-exit cleanup: repeated sweeps in one long-lived session must
-      // not leak a staged base dir per invocation (ADVICE r07)
+      // not leak a staged base dir per invocation (ADVICE r07); ONE
+      // static hook drains a queue, so invocations don't accumulate
+      // hook threads
       val dirPath = java.nio.file.Files.createTempDirectory("graft-q72-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case _: Exception => }))
+      Q72TempDirs.register(dirPath)
       val dir = dirPath.toString
       TextOps.buildMinhashBase(baseDocs, col("doc_id"), col("text"), dir)
       val r = TextOps.dedupAgainstBase(newDocs, col("doc_id"), col("text"), dir)
@@ -828,7 +845,7 @@ object SparkEntry {
       // mirror's COLLISION-FREE brute-force tuple counting
       // (fixtures/gen_hash_expected.py) — a green hash also certifies
       // no 64-bit shingle-hash collision fired at this scale.
-      val base = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
+      val base = spread(t(s, d, "documents").select(col("doc_id"), col("text")))
       val planted = base
         .filter(col("doc_id") < 15 &&
           size(TextOps.tokens(col("text"))) >= 25)
@@ -850,7 +867,7 @@ object SparkEntry {
       // order) — so q76 green certifies the excision arithmetic AND,
       // independently of q74's own check, that the Spark runs frame
       // equals the fixture's.
-      val base = spread(t(s, d, "documents")).select(col("doc_id"), col("text"))
+      val base = spread(t(s, d, "documents").select(col("doc_id"), col("text")))
       val planted = base
         .filter(col("doc_id") < 15 &&
           size(TextOps.tokens(col("text"))) >= 25)

@@ -69,10 +69,11 @@ object Pack {
     // the stronger form of the repartition-invariance contract.
     val shufflePartitions =
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val bits = 64 - java.lang.Long.numberOfLeadingZeros(
-      math.max(1, shufflePartitions - 1).toLong)
-    val pidCol =
-      if (bits == 0) lit(0) else shiftright(col("ord"), (64 - bits).toInt).cast("int")
+    // bits >= 1 always (numberOfLeadingZeros(1L) = 63), so the shift
+    // distance is in [1, 63] and pid always derives from ord's top bits
+    val bits = (64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, shufflePartitions - 1).toLong)).toInt
+    val pidCol = shiftright(col("ord"), 64 - bits).cast("int")
     val counts = toks
       .select(col("doc_id"), col("n"), xxhash64(col("doc_id")).as("ord"))
       .withColumn("pid", pidCol)

@@ -1058,9 +1058,12 @@ object TextOps {
     * wired in, not bolted on: `hotBuckets` over the SAME materialized
     * minhash base the join read (staged parquet or the cached frame),
     * so running the audit re-scans the barrier instead of recomputing
-    * the minhash chain. The frame is lazy — an unconsumed audit costs
-    * nothing — but a 100 TB job should run and log it alongside the
-    * dedup itself (CurateVolumeBench shows the shape).
+    * the minhash chain. The audit frame is lazy — an unconsumed audit
+    * costs nothing beyond the barriers the dedup itself needs (note:
+    * since r08 the cache-mode barriers materialize EAGERLY at call
+    * time, like the staged mode always has — see [[Staging]]) — but a
+    * 100 TB job should run and log it alongside the dedup itself
+    * (CurateVolumeBench shows the shape).
     */
   def curate(docs: DataFrame, id: Column, text: Column,
       lang: String = "en", minTokens: Int = 30, maxPunctRatio: Double = 0.2,
@@ -1218,8 +1221,11 @@ object TextOps {
   /** What [[release]] hands back: the split shards, the curation-stage
     * evidence (near pairs + hot-bucket audit), the decontamination
     * flags (what stage 2 dropped and why), and the publishable
-    * per-(source, split) volume report. All lazy frames — consume what
-    * the job needs.
+    * per-(source, split) volume report. The returned frames are lazy,
+    * but the composition's BARRIERS (curated set, contamination flags,
+    * clean set) materialize eagerly at call time — cache mode and
+    * staged mode alike since r08 (see [[Staging]]); what remains lazy
+    * is only the final quota/split/report layer on top of them.
     */
   final case class ReleaseResult(shards: DataFrame, nearPairs: DataFrame,
       hotBuckets: DataFrame, contaminated: DataFrame, report: DataFrame)
