@@ -38,7 +38,28 @@ object SparkEntry {
     * entry, not inside the operators). Only applied where the timed
     * action actually forces per-row compute (joins/aggs/explodes over
     * derived values); scan/pushdown queries keep their bare scans.
+    * Lifecycle note: localCheckpoint blocks live OUTSIDE the SQL cache
+    * (spark.catalog.clearCache() does not evict them); they are
+    * reclaimed by the ContextCleaner once the per-query frames are
+    * GC'd, and are sub-MB each at the sf scales this guard fires at.
     */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < p)
+      // localCheckpoint, not a bare repartition: Catalyst pushes
+      // deterministic filters/projections BELOW a repartition, which
+      // re-pins the regex-heavy work onto the 1-task scan (measured:
+      // q49's curation gate ran as a 1.5 s single-task stage under a
+      // bare repartition). The checkpoint is a hard barrier — heavy
+      // expressions evaluate on the 32-way side — and it truncates the
+      // lineage the deep compositions (q64/q50) otherwise re-analyze
+      // per barrier reference. Eager + tiny (these are the sub-MB sf
+      // tables; the guard above keeps real multi-split corpora on
+      // their bare parallel scans).
+      df.repartition(p).localCheckpoint()
+    else df
+  }
+
   /** JVM-exit cleanup registry for q72's per-invocation staged base
     * dirs: one shutdown hook, however many invocations (each hook
     * thread would otherwise accumulate in a long-lived session).
@@ -59,22 +80,6 @@ object SparkEntry {
     def register(d: java.nio.file.Path): Unit = { hook; dirs.add(d) }
   }
 
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions < p)
-      // localCheckpoint, not a bare repartition: Catalyst pushes
-      // deterministic filters/projections BELOW a repartition, which
-      // re-pins the regex-heavy work onto the 1-task scan (measured:
-      // q49's curation gate ran as a 1.5 s single-task stage under a
-      // bare repartition). The checkpoint is a hard barrier — heavy
-      // expressions evaluate on the 32-way side — and it truncates the
-      // lineage the deep compositions (q64/q50) otherwise re-analyze
-      // per barrier reference. Eager + tiny (these are the sub-MB sf
-      // tables; the guard above keeps real multi-split corpora on
-      // their bare parallel scans).
-      df.repartition(p).localCheckpoint()
-    else df
-  }
 
   private def us(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unix_micros(c.cast("timestamp"))

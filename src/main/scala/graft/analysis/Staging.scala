@@ -129,8 +129,14 @@ private[analysis] object Staging {
       // (curate -> release) otherwise re-analyze and re-print the full
       // child tree per reference — analyzer time multiplicative in
       // composition depth, measured in seconds of the release bench
-      // entry. Unpersist lifecycle unchanged (scope holds the original
-      // cached frame; a dropped cache recomputes through its child).
+      // entry. Lifecycle: scope.release()/clearCache() evicts the
+      // blocks as before (scope holds the original cached frame).
+      // SHARPENED contract vs the lazy-cache era: re-EXECUTING a
+      // returned frame AFTER its release rebuilds the relation's
+      // buffers and re-persists them with no CacheManager entry left
+      // to evict them — consume results before releasing (the
+      // CacheScope scaladoc's documented order); don't resurrect
+      // frames after release.
       org.apache.spark.sql.graftbridge.Bridge.cachedLeaf(cached)
         .getOrElse(cached)
   }
