@@ -812,7 +812,11 @@ object SparkEntry {
       // union branches of an already-spread frame stack to 3x the
       // partition count (96-task stages over 5k rows in the r08 audit)
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val baseDocs = spread(docs.filter(col("doc_id") < 250))
+      // base snapshot is 250 docs: its minhash chain is trivial, and an
+      // unspread build writes ONE staged parquet file instead of 32 —
+      // every downstream base scan then lists/opens one file (measured
+      // cheaper than spreading the seed side)
+      val baseDocs = docs.filter(col("doc_id") < 250)
       val crossDups = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 7000000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text"))
