@@ -296,16 +296,29 @@ object Bpe {
   def buildTokenVocab(docs: DataFrame, text: Column, nMerges: Int,
       maxWordTypes: Int = 100000): TokenVocab = {
     import docs.sparkSession.implicits._
-    val merges = train(docs, text, nMerges, maxWordTypes).merges
+    // the alphabet scan and the word-count scan are INDEPENDENT reads
+    // of the same input — submit the alphabet job from a driver thread
+    // so the scheduler backfills it behind the word-count job's tail
+    // (optimization guide §2.6 "overlap independent jobs"): at corpus
+    // scale that overlaps two full scans, and the driver-side merge
+    // loop in train() overlaps the alphabet job too. Job submission is
+    // thread-safe; a failure in either propagates via Await.
+    //
     // per-doc array_distinct BEFORE the explode: the exploded row count
     // drops from corpus-characters to docs x alphabet-size (identical
     // distinct set — distinct of a union is the union of per-doc
     // distincts), so the explode+aggregate is bounded by the alphabet,
     // not the text volume (r08)
-    val alpha = docs.select(explode_outer(array_distinct(
-        regexp_extract_all(lower(text),
-          lit("[^ \\t\\n\\x0B\\f\\r]"), lit(0)))).as("ch"))
-      .filter(col("ch").isNotNull).distinct().as[String].collect()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val alphaF = Future {
+      docs.select(explode_outer(array_distinct(
+          regexp_extract_all(lower(text),
+            lit("[^ \\t\\n\\x0B\\f\\r]"), lit(0)))).as("ch"))
+        .filter(col("ch").isNotNull).distinct().as[String].collect()
+    }
+    val merges = train(docs, text, nMerges, maxWordTypes).merges
+    val alpha = Await.result(alphaF, scala.concurrent.duration.Duration.Inf)
     TokenVocab(alpha.sortWith(cpLess).toSeq, merges)
   }
 
